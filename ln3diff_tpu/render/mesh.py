@@ -1,0 +1,135 @@
+"""Mesh extraction: dense grid σ query → marching tetrahedra → colored OBJ.
+
+Rewrite of the reference mesh path (``render_video_given_triplane``
+mesh block, ``nsr/train_util_diffusion.py:208-249`` +
+``triplane_decode_grid`` ``vit/vit_triplane.py:1625-1692`` with 2^16-point
+chunked decoding ``forward_points:1581-1623``): the grid query runs as a
+``lax.map`` over chunks under jit on-device; surface extraction runs in
+the native C++ op (no PyMCubes/trimesh deps); vertex colors come from
+re-querying RGB at vertex positions; OBJ export is a plain writer.
+
+Reference defaults: 192³ (objaverse) / 128³ grid, σ threshold 10,
+aabb ±0.45, −90° x-rotation on export.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PointDecoder = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
+# (B, M, 3) coords -> (rgb (B, M, C), sigma (B, M, 1))
+
+
+def query_grid_sigma(point_decoder: PointDecoder, grid_size: int,
+                     aabb: float = 0.45, chunk: int = 2**16) -> jax.Array:
+    """Evaluate σ on a dense grid by chunked decoding (reference chunk
+    2^16).  Returns (grid_size³,) flattened sigma; caller reshapes."""
+    lin = jnp.linspace(-aabb, aabb, grid_size)
+    gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing='ij')
+    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.pad(pts, ((0, pad), (0, 0)))
+    chunks = pts.reshape(-1, chunk, 3)
+
+    def eval_chunk(p):
+        _, sigma = point_decoder(p[None])
+        return sigma[0, :, 0]
+
+    sigmas = jax.lax.map(eval_chunk, chunks)
+    return sigmas.reshape(-1)[:n]
+
+
+def extract_mesh(point_decoder: PointDecoder, grid_size: int = 128,
+                 aabb: float = 0.45, threshold: float = 10.0,
+                 chunk: int = 2**16):
+    """Full extraction: σ grid → triangles → per-vertex colors.
+
+    Returns (vertices (N, 3) world coords, colors (N, 3) in [0, 1],
+    faces (T, 3) indices).  Flat (unshared) vertices, 3 per triangle.
+    """
+    from ..native.build import get_marching_tetrahedra
+
+    sigma = np.asarray(
+        query_grid_sigma(point_decoder, grid_size, aabb, chunk),
+        np.float32).reshape(grid_size, grid_size, grid_size)
+
+    mt = get_marching_tetrahedra()
+    max_tris = 4_000_000
+    out = np.empty((max_tris, 9), np.float32)
+    n = mt(sigma.ctypes.data_as(_fp()), grid_size, grid_size, grid_size,
+           np.float32(threshold), out.ctypes.data_as(_fp()), max_tris)
+    if n < 0:
+        max_tris = -n
+        out = np.empty((max_tris, 9), np.float32)
+        n = mt(sigma.ctypes.data_as(_fp()), grid_size, grid_size, grid_size,
+               np.float32(threshold), out.ctypes.data_as(_fp()), max_tris)
+    tris = out[:n].reshape(n * 3, 3)
+
+    # index space → world
+    scale = (2 * aabb) / (grid_size - 1)
+    verts = tris * scale - aabb
+
+    # vertex colors by re-querying the decoder (reference :230-242)
+    colors = np.zeros_like(verts)
+    if len(verts):
+        v = jnp.asarray(verts)
+        pad = (-v.shape[0]) % chunk
+        vp = jnp.pad(v, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+
+        def eval_rgb(p):
+            rgb, _ = point_decoder(p[None])
+            return rgb[0, :, :3]
+
+        rgb = jax.lax.map(eval_rgb, vp).reshape(-1, 3)[:v.shape[0]]
+        colors = np.clip(np.asarray(rgb), 0.0, 1.0)
+
+    faces = np.arange(n * 3, dtype=np.int64).reshape(n, 3)
+    return verts, colors, faces
+
+
+def _fp():
+    import ctypes
+    return ctypes.POINTER(ctypes.c_float)
+
+
+def rotate_x(verts: np.ndarray, degrees: float = -90.0) -> np.ndarray:
+    """Reference exports with a −90° x-rotation."""
+    r = np.deg2rad(degrees)
+    c, s = np.cos(r), np.sin(r)
+    rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
+    return (verts @ rot.T).astype(verts.dtype)
+
+
+def export_obj(path: str, verts: np.ndarray, colors: np.ndarray,
+               faces: np.ndarray):
+    """Write a colored OBJ (v x y z r g b lines — trimesh-compatible)."""
+    with open(path, 'w') as f:
+        for (x, y, z), (r, g, b) in zip(verts, colors):
+            f.write(f'v {x:.6f} {y:.6f} {z:.6f} {r:.4f} {g:.4f} {b:.4f}\n')
+        for a, b_, c in faces + 1:
+            f.write(f'f {a} {b_} {c}\n')
+
+
+def export_ply(path: str, verts: np.ndarray, colors: np.ndarray,
+               faces: np.ndarray):
+    """Binary-less ascii PLY writer (viewer-friendly alternative)."""
+    with open(path, 'w') as f:
+        f.write('ply\nformat ascii 1.0\n'
+                f'element vertex {len(verts)}\n'
+                'property float x\nproperty float y\nproperty float z\n'
+                'property uchar red\nproperty uchar green\n'
+                'property uchar blue\n'
+                f'element face {len(faces)}\n'
+                'property list uchar int vertex_indices\nend_header\n')
+        cb = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
+        for (x, y, z), (r, g, b) in zip(verts, cb):
+            f.write(f'{x:.6f} {y:.6f} {z:.6f} {r} {g} {b}\n')
+        for a, b_, c in faces:
+            f.write(f'3 {a} {b_} {c}\n')

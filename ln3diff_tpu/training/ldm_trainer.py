@@ -1,0 +1,135 @@
+"""Stage-2 latent-diffusion trainer: one loop, three objectives.
+
+TPU-native replacement for the reference's trainer-class explosion
+(``nsr/lsgm/flow_matching_trainer.py:303`` FM, ``sgm_DiffusionEngine.py:210``
+EDM, ``train_util_diffusion_lsgm_noD_joint.py:250-489`` VPSDE/DDPM): the
+objective is a config choice; the step trains on pre-extracted VAE latents
+(÷ ``triplane_scaling_divider``) with a conditioner providing context
+embeddings (ucg dropout handled by the conditioner), pjit over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.edm import DiscreteDenoiser, edm_training_loss
+from ..diffusion.gaussian import GaussianDiffusion, make_diffusion
+from ..diffusion.transport import Transport, TransportSpec
+from ..parallel.mesh import make_mesh, MeshConfig
+from ..utils import logger
+from .train_state import (TrainState, build_train_step, create_train_state,
+                          make_optimizer)
+
+
+@dataclasses.dataclass(frozen=True)
+class LDMTrainConfig:
+    objective: str = 'flow_matching'   # 'flow_matching' | 'ddpm' | 'edm'
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    grad_clip: float = 0.5
+    ema_rate: float = 0.9999
+    triplane_scaling_divider: float = 0.96806   # reference objaverse value
+    # ddpm objective options
+    schedule: str = 'linear'
+    diffusion_steps: int = 1000
+    mean_type: str = 'v'
+    microbatch_steps: int = 1
+    log_interval: int = 10
+    total_steps: int = 1000000
+
+
+class LDMTrainer:
+    """model_fn: (params, constants, x, t, context) -> prediction."""
+
+    def __init__(self, model, train_cfg: LDMTrainConfig = LDMTrainConfig(),
+                 mesh=None, seed: int = 0,
+                 conditioner: Optional[Callable] = None):
+        self.model = model
+        self.cfg = train_cfg
+        self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
+        self.conditioner = conditioner
+        self._init_key = jax.random.PRNGKey(seed)
+        self._state = None
+        self._step_fn = None
+
+        if train_cfg.objective == 'ddpm':
+            self.diffusion = make_diffusion(
+                schedule=train_cfg.schedule, steps=train_cfg.diffusion_steps,
+                mean_type=train_cfg.mean_type)
+        elif train_cfg.objective == 'edm':
+            self.denoiser = DiscreteDenoiser(num_idx=1000, scaling='eps')
+        else:
+            self.transport = Transport(TransportSpec())
+
+    def init_state(self, example_batch):
+        x = jnp.asarray(example_batch['latent'])
+        t = jnp.zeros((x.shape[0],))
+        ctx = example_batch['context']
+        variables = self.model.init(self._init_key, x, t, ctx)
+        params = variables.pop('params')
+        tx = make_optimizer(self.cfg.lr, self.cfg.weight_decay,
+                            grad_clip=self.cfg.grad_clip)
+        self._state = create_train_state(
+            params, tx, ema_rates=(('ema', self.cfg.ema_rate),),
+            constants=variables)
+        return self._state
+
+    def _loss_fn(self, params, constants, batch, rng):
+        cfg = self.cfg
+        x0 = batch['latent'] / cfg.triplane_scaling_divider
+        ctx = batch['context']
+
+        def model_fn(xt, t, **kw):
+            return self.model.apply({'params': params, **(constants or {})},
+                                    xt, t, ctx)
+
+        if cfg.objective == 'flow_matching':
+            out = self.transport.training_losses(model_fn, x0, rng)
+            loss = out['loss'].mean()
+            return loss, {'fm_mse': loss}
+        if cfg.objective == 'ddpm':
+            k_t, k_n = jax.random.split(rng)
+            t = jax.random.randint(k_t, (x0.shape[0],), 0,
+                                   self.diffusion.num_timesteps)
+            out = self.diffusion.training_losses(model_fn, x0, t, k_n)
+            loss = out['loss'].mean()
+            return loss, {'ddpm_mse': loss}
+        # edm
+        def network(xt, c_noise, cond):
+            return self.model.apply({'params': params, **(constants or {})},
+                                    xt, c_noise.astype(jnp.float32), ctx)
+        loss = edm_training_loss(self.denoiser, network, x0, rng, ctx).mean()
+        return loss, {'edm_mse': loss}
+
+    def build(self, example_batch):
+        if self._state is None:
+            self.init_state(example_batch)
+        self._step_fn = build_train_step(
+            self._loss_fn, self.mesh,
+            ema_rates=(('ema', self.cfg.ema_rate),),
+            microbatch_steps=self.cfg.microbatch_steps)
+        return self
+
+    def run_loop(self, data: Iterator[dict], num_steps: int,
+                 step_offset: int = 0):
+        assert self._step_fn is not None, 'call build() first'
+        state = self._state
+        for i in range(num_steps):
+            batch = {k: jnp.asarray(v) if not isinstance(v, dict) else
+                     jax.tree_util.tree_map(jnp.asarray, v)
+                     for k, v in next(data).items()}
+            state, metrics = self._step_fn(
+                state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(42), step_offset + i))
+            if (i + 1) % self.cfg.log_interval == 0:
+                logger.log_loss_dict(
+                    {k: float(v) for k, v in metrics.items()})
+                logger.logkv('step', step_offset + i + 1)
+                logger.dumpkvs()
+        self._state = state
+        return state

@@ -1,0 +1,141 @@
+"""Train state, EMA, mixed precision and the pjit train-step builder.
+
+Replaces the reference's runtime triple
+(``guided_diffusion/fp16_util.py:149`` ``MixedPrecisionTrainer``,
+``guided_diffusion/train_util.py:31`` ``TrainLoop`` internals,
+``nsr/train_util.py:179`` DDP wrap):
+
+  * mixed precision — params live in f32, compute in bf16 (TPU-native; no
+    loss-scaling needed, unlike the reference's fp16 master-param path);
+  * grad accumulation — ``lax.scan`` over microbatches inside one jitted
+    step (the reference's Python microbatch loop + ``no_sync()``);
+  * DDP all-reduce — pjit over the mesh; XLA inserts the psum;
+  * EMA — pytree lerp per rate (reference ``_update_ema:396``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Any            # dict: rate-name → pytree (or empty dict)
+    constants: Any = None      # non-trainable collections (pos embeds, ...)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False,
+                                                    default=None)
+
+    def apply_gradients(self, grads, ema_rates: tuple = ()):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                               self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        new_ema = {}
+        for name, rate in ema_rates:
+            old = self.ema_params[name]
+            new_ema[name] = jax.tree_util.tree_map(
+                lambda e, p: e * rate + p.astype(e.dtype) * (1 - rate), old,
+                new_params)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state,
+                            ema_params=new_ema if ema_rates
+                            else self.ema_params)
+
+
+def create_train_state(params, tx: optax.GradientTransformation,
+                       ema_rates: tuple = (), constants=None) -> TrainState:
+    # EMA must hold distinct buffers — aliasing params breaks buffer
+    # donation of the train state (donate-same-buffer-twice).
+    ema = {name: jax.tree_util.tree_map(jnp.copy, params)
+           for name, _ in ema_rates}
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), ema_params=ema,
+                      constants=constants, tx=tx)
+
+
+def make_optimizer(lr: float, weight_decay: float = 0.01,
+                   betas=(0.9, 0.999), grad_clip: Optional[float] = 0.5,
+                   warmup_steps: int = 0,
+                   total_steps: Optional[int] = None) -> optax.GradientTransformation:
+    """AdamW with grad clipping (the reference clips at 0.5 in AMP mode,
+    ``fp16_util.py:241``) and optional warmup/anneal."""
+    if warmup_steps or total_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps or 1,
+            (total_steps or 10**9) - (warmup_steps or 0), end_value=lr * 0.1)
+    else:
+        sched = lr
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adamw(sched, b1=betas[0], b2=betas[1],
+                             weight_decay=weight_decay))
+    return optax.chain(*chain)
+
+
+def build_train_step(loss_fn: Callable, mesh: Mesh,
+                     ema_rates: tuple = (('ema', 0.9999),),
+                     microbatch_steps: int = 1,
+                     donate: bool = True):
+    """Build a pjit'd train step.
+
+    Args:
+      loss_fn: ``(params, constants, batch, rng) -> (loss, metrics_dict)``;
+        runs on a microbatch.
+      microbatch_steps: >1 → batch's leading axis is
+        ``(microbatch_steps, micro_bs, ...)`` and gradients are averaged by
+        an in-step ``lax.scan`` (reference grad-accum loop,
+        ``train_util.py:353-394``).
+    Returns:
+      jitted ``step_fn(state, batch, rng) -> (state, metrics)`` with batch
+      sharded over (data, fsdp) and state replicated/fsdp-sharded as built.
+    """
+
+    def grads_of(params, constants, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, constants, batch, rng)
+        return grads, loss, metrics
+
+    def step_fn(state: TrainState, batch, rng):
+        if microbatch_steps > 1:
+            def scan_body(carry, micro):
+                acc_grads, i = carry
+                grads, loss, metrics = grads_of(
+                    state.params, state.constants, micro,
+                    jax.random.fold_in(rng, i))
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                return (acc_grads, i + 1), (loss, metrics)
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, _), (losses, metrics) = jax.lax.scan(
+                scan_body, (zero, 0), batch)
+            grads = jax.tree_util.tree_map(
+                lambda g: g / microbatch_steps, grads)
+            loss = losses.mean()
+            metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+        else:
+            grads, loss, metrics = grads_of(state.params, state.constants,
+                                            batch, rng)
+        new_state = state.apply_gradients(grads, ema_rates=ema_rates)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics, loss=loss, grad_norm=gnorm)
+        return new_state, metrics
+
+    batch_sharding = NamedSharding(mesh, P(('data', 'fsdp')))
+    if microbatch_steps > 1:
+        batch_sharding = NamedSharding(mesh, P(None, ('data', 'fsdp')))
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, batch_sharding, None),
+        donate_argnums=(0,) if donate else (),
+    )

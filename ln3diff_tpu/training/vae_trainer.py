@@ -1,0 +1,197 @@
+"""Stage-1 VAE trainer: patch-ray multi-view reconstruction training.
+
+TPU-native rewrite of the reference VAE trainer stack
+(``nsr/train_util.py:50-507`` base, ``nsr/train_nv_util.py:675-860``
+``TrainLoop3DRecNVPatchSingleForward[MV]`` — patch-ray sampling, fg-bbox
+crops, multi-view roll supervision) collapsed into one pjit train step:
+
+  * the V input views of each instance are encoded into ONE latent; all V
+    views are rendered back from it and supervised — this subsumes the
+    reference's "roll" novel-view supervision (every rendered view is a
+    novel view w.r.t. the pooled latent);
+  * patch rendering: the trainer renders ``patch_resolution²`` rays at
+    host-sampled fg-biased patch origins (reference ``PatchRaySampler``)
+    and supervises against dynamic GT crops (``lax.dynamic_slice``);
+  * grad accumulation / DDP / EMA via ``train_state.build_train_step``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.vae import TriplaneVAE, TriplaneVAEConfig
+from ..parallel.mesh import make_mesh, MeshConfig
+from ..render.ray_sampler import (sample_patch_origins, sample_patch_rays,
+                                  unpack_25d_camera)
+from ..render.renderer import RenderOptions
+from ..utils import logger
+from .losses import LossConfig, reconstruction_losses
+from .train_state import (TrainState, build_train_step, create_train_state,
+                          make_optimizer)
+
+
+@dataclasses.dataclass(frozen=True)
+class VAETrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    grad_clip: float = 0.5
+    ema_rate: float = 0.9999
+    batch_instances: int = 1          # instances per step (per host)
+    patch_resolution: int = 32        # patch-ray size (reference 32-64)
+    render_resolution: int = 128      # full supervision resolution
+    microbatch_steps: int = 1
+    log_interval: int = 10
+    save_interval: int = 10000
+    total_steps: int = 100000
+
+
+def _crop(img, h0, w0, size):
+    """Dynamic per-sample crop, vmapped. img: (B,H,W,C), h0/w0: (B,)."""
+    def one(im, h, w):
+        return jax.lax.dynamic_slice(
+            im, (h, w, 0), (size, size, im.shape[-1]))
+    return jax.vmap(one)(img, h0, w0)
+
+
+class VAETrainer:
+    """Owns model/state/step; drives the loop (reference ``run_loop``)."""
+
+    def __init__(self, model_cfg: TriplaneVAEConfig,
+                 train_cfg: VAETrainConfig = VAETrainConfig(),
+                 loss_cfg: LossConfig = LossConfig(),
+                 render_opts: Optional[RenderOptions] = None,
+                 mesh=None, seed: int = 0,
+                 lpips_fn=None):
+        self.model = TriplaneVAE(model_cfg)
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        self.loss_cfg = loss_cfg
+        self.render_opts = render_opts or RenderOptions(
+            depth_resolution=48, depth_resolution_importance=48,
+            ray_start='auto', ray_end='auto', box_warp=0.9,
+            filter_out_of_bbox=True)
+        self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
+        self.rng = np.random.default_rng(seed)
+        self.lpips_fn = lpips_fn
+
+        self._state = None
+        self._step_fn = None
+        self._init_key = jax.random.PRNGKey(seed)
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, example_batch) -> TrainState:
+        imgs = jnp.asarray(example_batch['img_to_encoder'])
+        cams = jnp.asarray(example_batch['c'])
+        variables = self.model.init(
+            self._init_key, imgs, cams,
+            dataclasses.replace(self.render_opts, depth_resolution=8,
+                                depth_resolution_importance=8),
+            8, jax.random.PRNGKey(0))
+        params = variables.pop('params')
+        tx = make_optimizer(self.cfg.lr, self.cfg.weight_decay,
+                            grad_clip=self.cfg.grad_clip)
+        self._state = create_train_state(
+            params, tx, ema_rates=(('ema', self.cfg.ema_rate),),
+            constants=variables)
+        return self._state
+
+    # -- the jitted step ---------------------------------------------------
+
+    def _loss_fn(self, params, constants, batch, rng):
+        cfg = self.cfg
+        model = self.model
+        opts = self.render_opts
+        patch = cfg.patch_resolution
+
+        k_vae, k_render = jax.random.split(rng)
+        variables = {'params': params, **(constants or {})}
+
+        imgs = batch['img_to_encoder']        # (B*V, H, W, 10)
+        cams = batch['c']                     # (B*V, 25)
+        h0 = batch['patch_h']                 # (B*V,) patch origins in
+        w0 = batch['patch_w']                 # render-resolution coords
+
+        moments = model.apply(variables, imgs, method=model.encode)
+        latent, posterior = model.apply(
+            variables, moments, k_vae, True, method=model.reparameterize)
+        planes = model.apply(variables, latent, method=model.decode_latent)
+
+        # All V views render from the shared instance latent: repeat planes
+        # per view (novel-view "roll" supervision).
+        BV = cams.shape[0]
+        B = planes.shape[0]
+        V = BV // B
+        planes_v = jnp.repeat(planes, V, axis=0)
+
+        cam2world, intrinsics = unpack_25d_camera(cams)
+        ray_o, ray_d = sample_patch_rays(cam2world, intrinsics, h0, w0,
+                                         patch, cfg.render_resolution)
+        pred = model.apply(variables, planes_v, None, opts, patch, k_render,
+                           ray_origins=ray_o, ray_directions=ray_d,
+                           method=model.render)
+
+        target = {
+            'img': _crop(batch['img'], h0, w0, patch),
+            'depth': _crop(batch['depth'][..., None], h0, w0, patch),
+            'depth_mask': _crop(batch['depth_mask'][..., None], h0, w0,
+                                patch),
+        }
+        total, terms = reconstruction_losses(
+            pred, target, self.loss_cfg, kl=posterior.kl(),
+            step=None, lpips_fn=self.lpips_fn)
+        return total, {k: v for k, v in terms.items()}
+
+    def build(self, example_batch):
+        if self._state is None:
+            self.init_state(example_batch)
+        self._step_fn = build_train_step(
+            self._loss_fn, self.mesh,
+            ema_rates=(('ema', self.cfg.ema_rate),),
+            microbatch_steps=self.cfg.microbatch_steps)
+        return self
+
+    # -- host-side batch prep ---------------------------------------------
+
+    def prepare_batch(self, raw: dict) -> dict:
+        """Sample fg-biased patch origins (host RNG → static shapes)."""
+        cfg = self.cfg
+        n = raw['c'].shape[0]
+        # bbox is in encoder-resolution coords; rescale to render res.
+        bbox = raw.get('bbox')
+        if bbox is not None:
+            scale = cfg.render_resolution / self.model_cfg.img_resolution
+            bbox = (bbox * scale).astype(np.int32)
+        h0, w0 = sample_patch_origins(self.rng, n, cfg.patch_resolution,
+                                      cfg.render_resolution, bbox)
+        out = {k: jnp.asarray(v) for k, v in raw.items()
+               if k in ('img_to_encoder', 'img', 'depth', 'depth_mask', 'c')}
+        out['patch_h'] = jnp.asarray(h0)
+        out['patch_w'] = jnp.asarray(w0)
+        return out
+
+    # -- loop --------------------------------------------------------------
+
+    def run_loop(self, data: Iterator[dict], num_steps: Optional[int] = None,
+                 step_offset: int = 0):
+        assert self._step_fn is not None, 'call build() first'
+        num_steps = num_steps or self.cfg.total_steps
+        state = self._state
+        for i in range(num_steps):
+            raw = next(data)
+            batch = self.prepare_batch(raw)
+            state, metrics = self._step_fn(
+                state, batch, jax.random.fold_in(
+                    jax.random.PRNGKey(1234), step_offset + i))
+            if (i + 1) % self.cfg.log_interval == 0:
+                logger.log_loss_dict(
+                    {k: float(v) for k, v in metrics.items()})
+                logger.logkv('step', step_offset + i + 1)
+                logger.dumpkvs()
+        self._state = state
+        return state

