@@ -22,33 +22,32 @@ def main():
                        dtype=jnp.bfloat16)
     model = DiT_TriLatent(cfg)
 
-    B = 8  # CFG-doubled batch of 4 (reference sampling batch, README:314)
+    B = 2  # CFG-doubled batch of 1: the north-star single-prompt case
     x = jnp.ones((B, 32, 32, 12), jnp.float32)
     t = jnp.full((B,), 500.0, jnp.float32)
     ctx = {'crossattn': jnp.ones((B, 77, 768), jnp.float32)}
-    variables = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, ctx)
 
     diffusion = make_diffusion(steps=1000, timestep_respacing='ddim250')
-
-    def model_fn(xt, tt, crossattn):
-        return model.apply(variables, xt, tt, {'crossattn': crossattn})
-
     n_steps = diffusion.num_timesteps
 
+    # NOTE: params must be explicit jit args — closing over the pytree
+    # embeds it as HLO constants and stalls compilation.
     @jax.jit
-    def sample(key, crossattn):
+    def sample(variables, key, crossattn):
         return diffusion.ddim_sample_loop(
-            lambda xx, tt: model_fn(xx, tt, crossattn),
+            lambda xx, tt: model.apply(variables, xx, tt,
+                                       {'crossattn': crossattn}),
             (B, 32, 32, 12), key)
 
     # warmup/compile
-    out = sample(jax.random.PRNGKey(0), ctx['crossattn'])
+    out = sample(variables, jax.random.PRNGKey(0), ctx['crossattn'])
     out.block_until_ready()
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = sample(jax.random.PRNGKey(i + 1), ctx['crossattn'])
+        out = sample(variables, jax.random.PRNGKey(i + 1), ctx['crossattn'])
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
 
@@ -58,7 +57,7 @@ def main():
     print(json.dumps({
         'metric': 'dit_l2_denoise_steps_per_sec',
         'value': round(steps_per_sec, 2),
-        'unit': 'steps/s (DiT-L/2, batch 8 CFG-doubled, 250-step DDIM scan)',
+        'unit': 'steps/s (DiT-L/2, single prompt CFG-doubled, 250-step DDIM scan)',
         'vs_baseline': round(steps_per_sec / baseline, 3),
     }))
 

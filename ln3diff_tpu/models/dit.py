@@ -394,11 +394,22 @@ class DiT_TriLatent(nn.Module):
         else:
             c = t
 
-        for i in range(cfg.depth):
-            x = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
-                         variant=cfg.variant, context_dim=cfg.context_dim,
-                         dtype=dtype, name=f'blocks_{i}')(
-                             x, c, context=crossattn, dino_tokens=dino)
+        # Weight-stacked scan over homogeneous blocks: compiles ONE block
+        # body instead of `depth` copies — critical for XLA compile time on
+        # deep DiTs (the reference's Python ModuleList has no such need).
+        class _Body(nn.Module):
+            @nn.compact
+            def __call__(self, x, _):
+                x = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
+                             variant=cfg.variant,
+                             context_dim=cfg.context_dim,
+                             dtype=dtype, name='block')(
+                                 x, c, context=crossattn, dino_tokens=dino)
+                return x, None
+
+        Blocks = nn.scan(_Body, variable_axes={'params': 0},
+                         split_rngs={'params': True}, length=cfg.depth)
+        x, _ = Blocks(name='blocks')(x, None)
 
         out_dim = cfg.patch_size**2 * cfg.in_channels
         x = FinalLayer(cfg.hidden_size, out_dim, t2i=cfg.t2i_final,
@@ -484,16 +495,33 @@ class DiT2(nn.Module):
                          (1, n * L, D))
         x = jnp.broadcast_to(pos, (B, n * L, D)).astype(dtype)
 
-        for i in range(cfg.depth):
-            blk = DiTBlock(D, cfg.num_heads, cfg.mlp_ratio, variant='adaln',
-                           token_modulation=True, dtype=dtype,
-                           name=f'blocks_{i}')
-            if cfg.roll_out and i % 2 == 0:   # within-plane attention
-                x = x.reshape(B * n, L, D)
-                x = blk(x, c.reshape(B * n, L, D))
-                x = x.reshape(B, n * L, D)
-            else:                             # cross-plane attention
-                x = blk(x, c)
+        mlp_ratio, num_heads = cfg.mlp_ratio, cfg.num_heads
+        roll_out = cfg.roll_out
+
+        # Scan over (within-plane, cross-plane) block pairs: one compiled
+        # pair body instead of `depth` block graphs.
+        class _Pair(nn.Module):
+            @nn.compact
+            def __call__(self, x, _):
+                if roll_out:
+                    h = x.reshape(B * n, L, D)
+                    h = DiTBlock(D, num_heads, mlp_ratio, variant='adaln',
+                                 token_modulation=True, dtype=dtype,
+                                 name='within')(h, c.reshape(B * n, L, D))
+                    x = h.reshape(B, n * L, D)
+                else:
+                    x = DiTBlock(D, num_heads, mlp_ratio, variant='adaln',
+                                 token_modulation=True, dtype=dtype,
+                                 name='within')(x, c)
+                x = DiTBlock(D, num_heads, mlp_ratio, variant='adaln',
+                             token_modulation=True, dtype=dtype,
+                             name='across')(x, c)
+                return x, None
+
+        assert cfg.depth % 2 == 0, 'DiT2 depth must be even'
+        Pairs = nn.scan(_Pair, variable_axes={'params': 0},
+                        split_rngs={'params': True}, length=cfg.depth // 2)
+        x, _ = Pairs(name='blocks')(x, None)
         return x
 
 
