@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 
 def main():
+    from ln3diff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from ln3diff_tpu.diffusion.gaussian import make_diffusion
     from ln3diff_tpu.models.dit import DiT_TriLatent, dit_registry
 
