@@ -1,0 +1,172 @@
+"""Typed config system with named presets.
+
+Replaces the reference's default-dict + argparse scheme
+(``nsr/script_util.py:934-1158`` defaults, ``rendering_options_defaults``
+preset tables :433-931, ``guided_diffusion/script_util.py:712-731``
+``add_dict_to_argparser``): dataclass configs compose into one
+``ExperimentConfig``; presets reproduce the released shell-script configs
+(``shell_scripts/final_release/``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from .models.dit import DiT2Config, DiTConfig, dit_registry, dit2_registry
+from .models.unet import UNetConfig
+from .models.vae import TriplaneVAEConfig
+from .render.renderer import RenderOptions
+from .training.losses import LossConfig
+from .training.ldm_trainer import LDMTrainConfig
+from .training.vae_trainer import VAETrainConfig
+
+
+# ---------------------------------------------------------------------------
+# rendering presets (reference rendering_options_defaults)
+# ---------------------------------------------------------------------------
+
+RENDER_PRESETS: dict[str, RenderOptions] = {
+    # Objaverse release cfg (nsr/script_util.py:761-797)
+    'objverse_tuneray_aug_resolution_64_64_auto': RenderOptions(
+        depth_resolution=64, depth_resolution_importance=64,
+        ray_start='auto', ray_end='auto', box_warp=0.9, white_back=True,
+        filter_out_of_bbox=True, sampler_bbox_min=-0.45,
+        sampler_bbox_max=0.45),
+    'objverse_tuneray_aug_resolution_128_128_auto': RenderOptions(
+        depth_resolution=128, depth_resolution_importance=128,
+        ray_start='auto', ray_end='auto', box_warp=0.9, white_back=True,
+        filter_out_of_bbox=True, sampler_bbox_min=-0.45,
+        sampler_bbox_max=0.45),
+    # ShapeNet release cfg (:679-699); ray_start/end 0.6/1.8 from the
+    # release scripts (radius 1.2, box_warp = end - start).
+    'shapenet_tuneray_aug_resolution_64_64_nearestSR': RenderOptions(
+        depth_resolution=64, depth_resolution_importance=64,
+        ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    # FFHQ (:466-489): 48+48 fg (16 bg samples handled by the fg/bg
+    # renderer variant), fixed near/far.
+    'ffhq': RenderOptions(
+        depth_resolution=48, depth_resolution_importance=48,
+        ray_start=2.25, ray_end=3.3, box_warp=1.0, white_back=False),
+}
+
+
+# per-dataset camera defaults (radius / fov for eval orbits)
+CAMERA_PRESETS = {
+    'objaverse': dict(radius=1.8, fov=30.0, pitch_deg=20.0),
+    'shapenet': dict(radius=1.2, fov=50.0, pitch_deg=20.0),
+    'ffhq': dict(radius=2.7, fov=12.6, pitch_deg=0.0),
+}
+
+
+# ---------------------------------------------------------------------------
+# model presets
+# ---------------------------------------------------------------------------
+
+def vae_preset(name: str = 'objaverse', dtype=jnp.bfloat16
+               ) -> TriplaneVAEConfig:
+    """VAE configs per released family.
+
+    'objaverse': SD MVEncoder(10ch) + DiT2 decoder + SD-Decoder upsampler
+    (reference ``RodinSR_..._ditDecoder`` path); 'objaverse-s' is the
+    smaller published train cfg (DiT2-B/2 tokens).
+    """
+    if name in ('objaverse', 'objaverse-s'):
+        dit2 = dit2_registry(
+            'DiT2-B/2' if name == 'objaverse-s' else 'DiT2-L/2',
+            tokens_per_plane=256, dtype=dtype)
+        return TriplaneVAEConfig(
+            encoder_in_channels=10, encoder_ch=64,
+            encoder_ch_mult=(1, 2, 4, 4), encoder_res_blocks=1,
+            img_resolution=256, num_views=4, ldm_z_channels=4,
+            latent_size=32, dit2=dit2, patch_size=2,
+            conv_sr_ch=32, conv_sr_ch_mult=(1, 2, 2, 4),
+            conv_sr_res_blocks=1, plane_channels=32,
+            decoder_output_dim=32, use_sr=False, dtype=dtype)
+    if name == 'shapenet':
+        dit2 = dit2_registry('DiT2-B/2', tokens_per_plane=256, dtype=dtype)
+        return TriplaneVAEConfig(
+            encoder_in_channels=3, encoder_ch=64,
+            encoder_ch_mult=(1, 2, 4, 4), encoder_res_blocks=1,
+            img_resolution=256, num_views=0, ldm_z_channels=4,
+            latent_size=32, dit2=dit2, patch_size=2,
+            conv_sr_ch=32, conv_sr_ch_mult=(1, 2, 2, 4),
+            conv_sr_res_blocks=1, plane_channels=32,
+            decoder_output_dim=32, use_sr=True, sr_ratio=2, dtype=dtype)
+    raise KeyError(name)
+
+
+def denoiser_preset(name: str, dtype=jnp.bfloat16):
+    """Stage-2 denoiser configs for the released checkpoints."""
+    if name == 't23d-dit-l2':         # objaverse text→3D DDPM
+        return dit_registry('DiT-L/2', input_size=32, in_channels=4,
+                            dtype=dtype)
+    if name == 'i23d-pixart-l2':      # objaverse image→3D flow matching
+        return dit_registry('DiT-I23D-L/2', input_size=32, in_channels=4,
+                            dtype=dtype)
+    if name == 'shapenet-unet':       # ShapeNet/FFHQ LSGM U-Net 320ch
+        return UNetConfig(in_channels=4, model_channels=320, out_channels=4,
+                          num_res_blocks=2, attention_resolutions=(4, 2, 1),
+                          channel_mult=(1, 2, 4), num_heads=8,
+                          use_spatial_transformer=True, context_dim=768,
+                          roll_out=True, mixed_prediction=True, dtype=dtype)
+    raise KeyError(name)
+
+
+# ---------------------------------------------------------------------------
+# experiment config
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    dataset: str = 'objaverse'
+    cfg: str = 'objverse_tuneray_aug_resolution_64_64_auto'
+    vae: str = 'objaverse-s'
+    denoiser: str = 't23d-dit-l2'
+    objective: str = 'flow_matching'
+    logdir: str = '/tmp/ln3diff'
+    seed: int = 0
+    # trainer knobs (flat, mirroring the reference CLI surface)
+    lr: float = 1e-4
+    batch_size: int = 1
+    microbatch_steps: int = 1
+    patch_rendering_resolution: int = 32
+    triplane_scaling_divider: float = 0.96806
+    total_steps: int = 100000
+    save_interval: int = 10000
+    log_interval: int = 10
+    resume_checkpoint: str = ''
+
+    def render_opts(self) -> RenderOptions:
+        return RENDER_PRESETS[self.cfg]
+
+    def vae_config(self) -> TriplaneVAEConfig:
+        return vae_preset(self.vae)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def add_config_to_argparser(parser: argparse.ArgumentParser,
+                            cfg: ExperimentConfig):
+    """reference ``add_dict_to_argparser`` equivalent."""
+    for f in dataclasses.fields(cfg):
+        default = getattr(cfg, f.name)
+        ftype = type(default)
+        if ftype is bool:
+            parser.add_argument(f'--{f.name}', default=default,
+                                type=lambda s: s.lower() in
+                                ('1', 'true', 'yes'))
+        else:
+            parser.add_argument(f'--{f.name}', default=default, type=ftype)
+    return parser
+
+
+def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
+    names = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    return ExperimentConfig(**{k: v for k, v in vars(args).items()
+                               if k in names})

@@ -1,0 +1,190 @@
+"""DINO-style Vision Transformer + triplane fusion blocks.
+
+TPU-native rewrite of ``vit/vision_transformer.py`` (2808 LoC of DINO v1/v2
+ViT + xformers attention + TriplaneFusionBlock v1–v6): one parameterized
+ViT whose layout matches DINO/DINOv2 for weight conversion, plus the
+fusion block family collapsed to its released variant — interleaved
+within-plane self-attention and cross-plane ("3D-aware") attention over
+(B, 3, L, C) triplane tokens (reference ``TriplaneFusionBlockv4_nested*``
+:1778-2496), with optional uvit long-skip connections (reference
+``create_uvit_arch``).
+
+Used as: ShapeNet/FFHQ VAE encoder (DINO ViT-S/B), ViT triplane decoder
+backbone, and the DINOv2 image embedder for i23d conditioning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .dit import Attention, GeluMLP, get_2d_sincos_pos_embed
+
+
+class ViTBlock(nn.Module):
+    """Pre-LN transformer block (DINO layout: norm1/attn/norm2/mlp)."""
+    num_heads: int
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
+        x = x + Attention(self.num_heads, dtype=self.dtype, name='attn')(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm2')(x)
+        return x + GeluMLP(self.mlp_ratio, dtype=self.dtype, name='mlp')(h)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 384        # ViT-S
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    use_cls_token: bool = True
+    dtype: Any = jnp.float32
+
+
+class VisionTransformer(nn.Module):
+    """DINO ViT encoder. Input (B, H, W, C) → tokens (B, L[+1], D)."""
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        B = x.shape[0]
+        p = cfg.patch_size
+        x = nn.Conv(cfg.embed_dim, (p, p), strides=(p, p), padding='VALID',
+                    dtype=cfg.dtype, name='patch_embed')(x.astype(cfg.dtype))
+        h, w = x.shape[1], x.shape[2]
+        x = x.reshape(B, h * w, cfg.embed_dim)
+
+        n_tok = h * w + (1 if cfg.use_cls_token else 0)
+        pos = self.param('pos_embed', nn.initializers.normal(0.02),
+                         (1, n_tok, cfg.embed_dim))
+        if cfg.use_cls_token:
+            cls = self.param('cls_token', nn.initializers.zeros,
+                             (1, 1, cfg.embed_dim))
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls, (B, 1, cfg.embed_dim)).astype(x.dtype),
+                 x], axis=1)
+        x = x + pos.astype(x.dtype)
+
+        class _Body(nn.Module):
+            @nn.compact
+            def __call__(self, x, _):
+                return ViTBlock(cfg.num_heads, cfg.mlp_ratio,
+                                dtype=cfg.dtype, name='block')(x), None
+
+        Blocks = nn.scan(_Body, variable_axes={'params': 0},
+                         split_rngs={'params': True}, length=cfg.depth)
+        x, _ = Blocks(name='blocks')(x, None)
+        return nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name='norm')(x)
+
+
+def vit_registry(name: str, **overrides) -> ViTConfig:
+    presets = {
+        'vit-s/16': dict(patch_size=16, embed_dim=384, depth=12,
+                         num_heads=6),
+        'vit-s/14': dict(patch_size=14, embed_dim=384, depth=12,
+                         num_heads=6),
+        'vit-b/16': dict(patch_size=16, embed_dim=768, depth=12,
+                         num_heads=12),
+        'vit-b/14': dict(patch_size=14, embed_dim=768, depth=12,
+                         num_heads=12),
+        'vit-l/14': dict(patch_size=14, embed_dim=1024, depth=24,
+                         num_heads=16),
+    }
+    kw = dict(presets[name])
+    kw.update(overrides)
+    return ViTConfig(**kw)
+
+
+# ---------------------------------------------------------------------------
+# triplane fusion
+# ---------------------------------------------------------------------------
+
+class TriplaneFusionBlock(nn.Module):
+    """Fusion step over (B, 3, L, D) triplane tokens: within-plane
+    self-attention followed by cross-plane attention where all 3L tokens
+    attend jointly (the released v4/v6 "3D-aware" pattern,
+    reference ``vit/vision_transformer.py:1778-2496``)."""
+    num_heads: int
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, n, L, D = x.shape
+        h = x.reshape(B * n, L, D)
+        h = ViTBlock(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                     name='within')(h)
+        h = h.reshape(B, n * L, D)
+        h = ViTBlock(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                     name='across')(h)
+        return h.reshape(B, n, L, D)
+
+
+@dataclasses.dataclass(frozen=True)
+class TriplaneViTDecoderConfig:
+    tokens_per_plane: int = 256
+    embed_dim: int = 384
+    depth: int = 12               # number of fusion blocks (2 attn each)
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    uvit_skips: bool = True       # long skips second half ← first half
+    dtype: Any = jnp.float32
+
+
+class TriplaneViTDecoder(nn.Module):
+    """ViT triplane decoder backbone (reference ``ViTTriplaneDecomposed``
+    with fusion blocks + uvit long skips, ``vit/vit_triplane.py:130-513``).
+
+    Input tokens (B, 3, L, D) (e.g. from PatchEmbedTriplane); output same
+    shape after depth fusion blocks.
+    """
+    cfg: TriplaneViTDecoderConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        B, n, L, D = x.shape
+        pos = self.param(
+            'pos_embed',
+            lambda key, shape: jnp.asarray(
+                get_2d_sincos_pos_embed(D, (n, L))).reshape(shape),
+            (1, n, L, D))
+        x = x + pos.astype(x.dtype)
+
+        half = cfg.depth // 2
+        skips = []
+        for i in range(cfg.depth):
+            if cfg.uvit_skips and i >= cfg.depth - half and skips:
+                skip = skips.pop()
+                x = nn.Dense(D, dtype=cfg.dtype,
+                             kernel_init=nn.initializers.zeros,
+                             name=f'skip_linear_{i}')(
+                    jnp.concatenate([x, skip], axis=-1))
+            x = TriplaneFusionBlock(cfg.num_heads, cfg.mlp_ratio,
+                                    dtype=cfg.dtype, name=f'fusion_{i}')(x)
+            if cfg.uvit_skips and i < half:
+                skips.append(x)
+        return x
+
+
+def unpatchify_triplane(x: jax.Array, patch_size: int,
+                        out_channels: int) -> jax.Array:
+    """(B, 3, L, p*p*C) tokens → (B, 3, H, W, C) planes (reference
+    ``unpatchify_triplane``, ``vit/vit_triplane.py:393-414``)."""
+    B, n, L, _ = x.shape
+    h = w = int(L**0.5)
+    p = patch_size
+    x = x.reshape(B, n, h, w, p, p, out_channels)
+    x = jnp.einsum('bnhwpqc->bnhpwqc', x)
+    return x.reshape(B, n, h * p, w * p, out_channels)

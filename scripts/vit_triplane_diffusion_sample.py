@@ -1,0 +1,156 @@
+"""Text→3D sampling entry (the north-star path).
+
+Mirrors reference ``scripts/vit_triplane_diffusion_sample_objaverse.py``:
+per prompt → conditioner → CFG denoiser sampling → VAE decode → orbit
+video PNGs + mesh export.  With ``--denoiser_ckpt``/``--vae_ckpt`` absent
+it runs random-weight (pipeline smoke / timing mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+DEFAULT_PROMPTS = [
+    # mirrors the hard-coded prompt list at reference :189-223
+    'a wooden chair',
+    'a sports car',
+    'an airplane',
+]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--prompts', nargs='*', default=DEFAULT_PROMPTS)
+    parser.add_argument('--outdir', default='/tmp/ln3diff-samples')
+    parser.add_argument('--denoiser', default='t23d-dit-l2')
+    parser.add_argument('--vae', default='objaverse-s')
+    parser.add_argument('--objective', default='ddim',
+                        choices=['ddim', 'flow_matching'])
+    parser.add_argument('--num_steps', type=int, default=250)
+    parser.add_argument('--unconditional_guidance_scale', type=float,
+                        default=6.5)
+    parser.add_argument('--num_frames', type=int, default=24)
+    parser.add_argument('--render_resolution', type=int, default=128)
+    parser.add_argument('--export_mesh', default=True,
+                        type=lambda s: str(s).lower() in ('1', 'true'))
+    parser.add_argument('--mesh_grid', type=int, default=192)
+    parser.add_argument('--denoiser_ckpt', default='')
+    parser.add_argument('--vae_ckpt', default='')
+    parser.add_argument('--seed', type=int, default=0)
+    args = parser.parse_args()
+
+    from ln3diff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ln3diff_tpu.config import denoiser_preset, vae_preset, \
+        RENDER_PRESETS
+    from ln3diff_tpu.conditioning.clip import (CLIPTextModel,
+                                               SimpleCLIPTokenizer)
+    from ln3diff_tpu.diffusion.gaussian import make_diffusion
+    from ln3diff_tpu.models.dit import DiT_TriLatent
+    from ln3diff_tpu.models.vae import TriplaneVAE
+    from ln3diff_tpu.pipeline import (SamplerSpec, TextTo3DPipeline,
+                                      save_video_frames)
+    from ln3diff_tpu.training.checkpoint import load_numpy_checkpoint
+    from ln3diff_tpu.utils import logger
+
+    logger.configure(args.outdir)
+    os.makedirs(args.outdir, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+
+    # -- models ------------------------------------------------------------
+    den_cfg = denoiser_preset(args.denoiser)
+    denoiser = DiT_TriLatent(den_cfg)
+    vae_cfg = vae_preset(args.vae)
+    vae = TriplaneVAE(vae_cfg)
+    text_model = CLIPTextModel()
+    tokenizer = SimpleCLIPTokenizer()
+
+    x0 = jnp.zeros((2, 32, 32, 12))
+    t0 = jnp.zeros((2,))
+    ctx0 = {'crossattn': jnp.zeros((2, 77, den_cfg.context_dim))}
+    den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0, t0, ctx0)
+
+    latent0 = jnp.zeros((1, vae_cfg.latent_size, vae_cfg.latent_size,
+                         vae_cfg.latent_channels))
+    vae_vars = jax.jit(
+        lambda k, l: vae.init(k, l, method=vae.decode_latent))(
+            jax.random.PRNGKey(2), latent0)
+    text_vars = jax.jit(text_model.init)(
+        jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32))
+
+    if args.denoiser_ckpt:
+        den_vars = {'params': load_numpy_checkpoint(
+            args.denoiser_ckpt, den_vars['params']),
+            **{k: v for k, v in den_vars.items() if k != 'params'}}
+    if args.vae_ckpt:
+        vae_vars = {'params': load_numpy_checkpoint(
+            args.vae_ckpt, vae_vars['params']),
+            **{k: v for k, v in vae_vars.items() if k != 'params'}}
+
+    # -- pipeline ----------------------------------------------------------
+    render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
+
+    def denoiser_fn(x, t, context):
+        return denoiser.apply(den_vars, x, t, context)
+
+    decode_fn = jax.jit(
+        lambda latents: vae.apply(vae_vars, latents,
+                                  method=vae.decode_latent))
+
+    def render_fn(planes, cam25, key):
+        return vae.apply(vae_vars, planes, cam25, render_opts,
+                         args.render_resolution, key,
+                         method=vae.render)['image_raw']
+    render_fn = jax.jit(render_fn)
+
+    def point_decoder_fn(planes, coords):
+        return vae.apply(vae_vars, planes, coords, render_opts.box_warp,
+                         method=vae.query_points)
+
+    pipeline = TextTo3DPipeline(
+        denoiser_fn, decode_fn, render_fn, point_decoder_fn,
+        sampler=SamplerSpec(
+            kind='flow_matching' if args.objective == 'flow_matching'
+            else 'ddim',
+            num_steps=args.num_steps,
+            cfg_scale=args.unconditional_guidance_scale),
+        diffusion=make_diffusion(steps=1000,
+                                 timestep_respacing=f'ddim{args.num_steps}'))
+
+    # -- per-prompt loop ---------------------------------------------------
+    encode_text = jax.jit(
+        lambda ids: text_model.apply(text_vars, ids)['last_hidden_state'])
+    uncond_ids = jnp.asarray(tokenizer(['']))
+
+    for p_i, prompt in enumerate(args.prompts):
+        t_start = time.perf_counter()
+        cond = {'crossattn': encode_text(jnp.asarray(tokenizer([prompt])))}
+        uncond = {'crossattn': encode_text(uncond_ids)}
+        key, k = jax.random.split(key)
+        mesh_path = os.path.join(args.outdir, f'{p_i:02d}.obj') \
+            if args.export_mesh else None
+        out = pipeline(k, cond, uncond, batch=1,
+                       num_frames=args.num_frames, mesh_path=mesh_path,
+                       mesh_grid=args.mesh_grid)
+        frames = np.asarray(out['video'][0])
+        save_video_frames(frames, os.path.join(args.outdir, f'{p_i:02d}'))
+        wall = time.perf_counter() - t_start
+        logger.log(f'[{p_i}] "{prompt}": {wall:.1f} s '
+                   f'({args.num_steps} steps, {args.num_frames} frames'
+                   + (', mesh' if mesh_path else '') + ')')
+        logger.logkv('sample_wall_s', wall)
+        logger.dumpkvs()
+
+
+if __name__ == '__main__':
+    main()

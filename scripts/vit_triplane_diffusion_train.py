@@ -1,0 +1,109 @@
+"""Stage-2 latent-diffusion training entry.
+
+Mirrors reference ``scripts/vit_triplane_diffusion_train.py`` /
+``vit_triplane_sit_train.py``: trains a denoiser on pre-extracted VAE
+latents with a conditioner; the objective ({flow_matching, ddpm, edm})
+replaces the reference's trainer-name map ({flow_matching, adm,
+sgm_legacy, vpsde_*}).  Without a latent directory it falls back to
+random latents (pipeline smoke mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def latent_stream(latent_dir: str, batch: int, shape, context_dim: int,
+                  seed: int = 0):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    files = sorted(glob.glob(os.path.join(latent_dir, '*.npy'))) \
+        if latent_dir else []
+    if files:
+        latents = np.concatenate([np.load(f) for f in files], axis=0)
+    else:
+        latents = rng.standard_normal((max(batch, 8),) + tuple(shape)
+                                      ).astype(np.float32)
+    n = latents.shape[0]
+    while True:
+        idx = rng.integers(0, n, size=batch)
+        yield {
+            'latent': latents[idx],
+            'context': {'crossattn': rng.standard_normal(
+                (batch, 77, context_dim)).astype(np.float32)},
+        }
+
+
+def main():
+    from ln3diff_tpu.config import (ExperimentConfig, add_config_to_argparser,
+                                    args_to_config, denoiser_preset)
+
+    parser = argparse.ArgumentParser()
+    add_config_to_argparser(parser, ExperimentConfig())
+    parser.add_argument('--latent_dir', type=str, default='')
+    args = parser.parse_args()
+    cfg = args_to_config(args)
+
+    from ln3diff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+
+    from ln3diff_tpu.models.dit import DiT_TriLatent, DiTConfig
+    from ln3diff_tpu.models.unet import UNetConfig, UNetModel
+    from ln3diff_tpu.parallel.mesh import initialize_distributed
+    from ln3diff_tpu.training.checkpoint import CheckpointManager
+    from ln3diff_tpu.training.ldm_trainer import LDMTrainConfig, LDMTrainer
+    from ln3diff_tpu.utils import logger
+
+    initialize_distributed()
+    logger.configure(cfg.logdir)
+    with open(os.path.join(cfg.logdir, 'args.json'), 'w') as f:
+        f.write(cfg.to_json())
+
+    den_cfg = denoiser_preset(cfg.denoiser)
+    if isinstance(den_cfg, UNetConfig):
+        model = UNetModel(den_cfg)
+        latent_hw = 32
+        context_dim = den_cfg.context_dim
+    else:
+        model = DiT_TriLatent(den_cfg)
+        latent_hw = den_cfg.input_size
+        context_dim = den_cfg.context_dim
+
+    train_cfg = LDMTrainConfig(
+        objective=cfg.objective, lr=cfg.lr,
+        triplane_scaling_divider=cfg.triplane_scaling_divider,
+        microbatch_steps=cfg.microbatch_steps,
+        log_interval=cfg.log_interval, total_steps=cfg.total_steps)
+
+    data = latent_stream(args.latent_dir, cfg.batch_size,
+                         (latent_hw, latent_hw, 12), context_dim, cfg.seed)
+
+    trainer = LDMTrainer(model, train_cfg, seed=cfg.seed)
+    trainer.build(next(data))
+
+    ckpt = CheckpointManager(os.path.join(cfg.logdir, 'checkpoints'))
+    if cfg.resume_checkpoint:
+        restored = ckpt.restore(trainer._state)
+        if restored is not None:
+            trainer._state = restored
+            logger.log(f'resumed from step {int(restored.step)}')
+
+    step = int(trainer._state.step)
+    while step < cfg.total_steps:
+        n = min(cfg.save_interval, cfg.total_steps - step)
+        trainer.run_loop(data, num_steps=n, step_offset=step)
+        step += n
+        ckpt.save(step, trainer._state)
+        logger.log(f'saved checkpoint @ {step}')
+    ckpt.close()
+
+
+if __name__ == '__main__':
+    main()
