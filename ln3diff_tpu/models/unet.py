@@ -185,9 +185,14 @@ class UNetModel(nn.Module):
             max(1, ch // cfg.num_heads), dtype=cfg.dtype, name=name)
 
     @nn.compact
-    def __call__(self, x, timesteps, context=None):
+    def __call__(self, x, timesteps, context=None, control=None):
         """x: (B, H, W, 3*in_channels) when roll_out (plane-outer channel
-        layout '(n c)'), else (B, H, W, in_channels)."""
+        layout '(n c)'), else (B, H, W, in_channels).
+
+        control: optional list of ControlNet residuals ordered
+        [conv_in, *down_blocks, middle]; added to the matching skip
+        activations and the middle output (reference
+        ``ControlledUnetModel.forward``)."""
         cfg = self.cfg
         dt = cfg.dtype
 
@@ -246,6 +251,11 @@ class UNetModel(nn.Module):
             self._attn(ds, ch, 'mid_attn')(h)
         h = ResBlock(ch, cfg.use_scale_shift_norm, dtype=dt,
                      name='mid_res_2')(h, emb)
+
+        if control is not None:
+            assert len(control) == len(hs) + 1, (len(control), len(hs))
+            h = h + control[-1].astype(h.dtype)
+            hs = [s + c.astype(s.dtype) for s, c in zip(hs, control[:-1])]
 
         # up
         for level in reversed(range(len(cfg.channel_mult))):

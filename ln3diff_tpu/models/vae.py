@@ -239,6 +239,18 @@ class TriplaneVAE(nn.Module):
         ret.update(latent=latent, posterior_kl=posterior.kl(), planes=planes)
         return ret
 
+    def init_decoder_paths(self, latents: jax.Array, camera25: jax.Array,
+                           render_opts: RenderOptions, resolution: int):
+        """Initialization helper touching every sampling-time submodule
+        (decoder backbone, renderer MLP, SR head, point queries) without
+        the encoder — use as ``vae.init(key, ..., method=
+        vae.init_decoder_paths)`` for decode-only inference."""
+        planes = self.decode_latent(latents)
+        ret = self.render(planes, camera25, render_opts, resolution, None)
+        coords = jnp.zeros((planes.shape[0], 8, 3))
+        self.query_points(planes, coords, render_opts.box_warp)
+        return ret
+
     # -- point queries (mesh extraction) ----------------------------------
 
     def query_points(self, planes: jax.Array, coords: jax.Array,

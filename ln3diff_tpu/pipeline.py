@@ -6,14 +6,16 @@ Rewrite of the reference's north-star sampling path
 → ``render_video_given_triplane`` ``nsr/train_util_diffusion.py:177-382``):
 
   1. conditioner → (cond, uncond) context;
-  2. denoiser sampling (FM-ODE / DDIM / EulerEDM) with CFG as a single
-     jitted scan over (B, 32, 32, 12) latents;
+  2. denoiser sampling (FM-ODE / DDIM) with CFG as a single jitted scan
+     over (B, 32, 32, 12) latents;
   3. latent ÷ triplane_scaling_divider → VAE decode → planes;
-  4. orbit-camera volume rendering to video frames;
+  4. orbit-camera volume rendering to video frames (all frames batched
+     into ONE render call — amortizes the plane gather table);
   5. marching-tetrahedra mesh export.
 
-Everything through step 4 stays on-device; only marching cubes and file
-IO touch the host (same split as the reference).
+All model params flow through jit as EXPLICIT arguments — closing over a
+param pytree embeds it as HLO constants, which stalls/413s compilation on
+tunneled TPU backends.
 """
 
 from __future__ import annotations
@@ -26,16 +28,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .diffusion.gaussian import GaussianDiffusion, make_cfg_model_fn
+from .diffusion.gaussian import GaussianDiffusion
 from .diffusion.transport import Transport
 from .render.camera import orbit_cameras
-from .render.renderer import RenderOptions
 from .render.mesh import export_obj, export_ply, extract_mesh, rotate_x
 
 
 @dataclasses.dataclass
 class SamplerSpec:
-    kind: str = 'flow_matching'     # 'flow_matching' | 'ddim' | 'edm'
+    kind: str = 'flow_matching'     # 'flow_matching' | 'ddim'
     num_steps: int = 250
     cfg_scale: float = 6.5
     triplane_scaling_divider: float = 0.96806
@@ -43,29 +44,38 @@ class SamplerSpec:
 
 
 class TextTo3DPipeline:
-    """Composable pipeline over injected callables (keeps jit boundaries
-    clean; models/params live with the caller)."""
+    """Composable pipeline over param-explicit callables.
 
-    def __init__(self,
-                 denoiser_fn: Callable,     # (x, t, context) -> pred
-                 decode_fn: Callable,       # latent -> planes
-                 render_fn: Callable,       # (planes, cam25, key) -> imgs
-                 point_decoder_fn: Callable,  # (planes, coords) -> rgb,σ
+    Args (all functions take their params pytree first):
+      denoiser_fn(params, x, t, context) -> prediction
+      decode_fn(params, latents) -> planes
+      render_fn(params, planes, cam25) -> images (B, H, W, 3)
+      point_decoder_fn(params, planes, coords) -> (rgb, sigma)
+    """
+
+    def __init__(self, denoiser_fn, denoiser_params, decode_fn, vae_params,
+                 render_fn, point_decoder_fn,
                  sampler: SamplerSpec = SamplerSpec(),
                  diffusion: Optional[GaussianDiffusion] = None,
                  transport: Optional[Transport] = None):
         self.denoiser_fn = denoiser_fn
+        self.denoiser_params = denoiser_params
         self.decode_fn = decode_fn
+        self.vae_params = vae_params
         self.render_fn = render_fn
         self.point_decoder_fn = point_decoder_fn
         self.spec = sampler
         self.diffusion = diffusion
         self.transport = transport or Transport()
 
+        self._sample_jit = jax.jit(self._sample_impl,
+                                   static_argnames=('batch',))
+        self._decode_jit = jax.jit(decode_fn)
+        self._render_jit = jax.jit(render_fn)
+
     # -- latent sampling ---------------------------------------------------
 
-    def sample_latents(self, key, batch: int, cond, uncond):
-        """CFG-doubled sampling → latents (B, h, w, C)."""
+    def _sample_impl(self, params, key, cond, uncond, batch: int):
         spec = self.spec
         shape = (batch,) + tuple(spec.latent_shape)
 
@@ -77,7 +87,7 @@ class TextTo3DPipeline:
                     [jnp.broadcast_to(c, (batch,) + c.shape[1:]),
                      jnp.broadcast_to(u, (batch,) + u.shape[1:])], axis=0),
                 cond, uncond)
-            out = self.denoiser_fn(xx, tt, both)
+            out = self.denoiser_fn(params, xx, tt, both)
             c_out, u_out = jnp.split(out, 2, axis=0)
             return u_out + spec.cfg_scale * (c_out - u_out)
 
@@ -91,28 +101,35 @@ class TextTo3DPipeline:
             raise NotImplementedError(spec.kind)
         return x * spec.triplane_scaling_divider
 
+    def sample_latents(self, key, batch: int, cond, uncond):
+        """CFG-doubled sampling → latents (B, h, w, C), one jitted scan."""
+        return self._sample_jit(self.denoiser_params, key, cond, uncond,
+                                batch)
+
     # -- decode + render ---------------------------------------------------
 
-    def latents_to_planes(self, latents):
-        return self.decode_fn(latents / self.spec.triplane_scaling_divider
-                              * self.spec.triplane_scaling_divider)
+    def render_orbit(self, planes, num_frames: int = 24,
+                     radius: float = 1.8, fov: float = 30.0,
+                     pitch_deg: float = 20.0):
+        """Render the evaluation orbit → (B, F, H, W, 3) in [-1, 1].
 
-    def render_orbit(self, planes, key=None, num_frames: int = 24,
-                     radius: float = 1.8, fov: float = 30.0):
-        """Render the evaluation orbit → (B, F, H, W, 3) in [-1, 1]."""
-        cams = jnp.asarray(orbit_cameras(num_frames, radius, fov))
-        frames = []
-        for f in range(num_frames):
-            cam = jnp.broadcast_to(cams[f][None], (planes.shape[0], 25))
-            img = self.render_fn(planes, cam, key)
-            frames.append(img)
-        return jnp.stack(frames, axis=1)
+        All F frames are folded into the batch for one render call.
+        """
+        cams = jnp.asarray(orbit_cameras(num_frames, radius, fov,
+                                         pitch_deg))
+        B = planes.shape[0]
+        planes_f = jnp.repeat(planes, num_frames, axis=0)
+        cams_f = jnp.tile(cams, (B, 1))
+        imgs = self._render_jit(self.vae_params, planes_f, cams_f)
+        return imgs.reshape(B, num_frames, *imgs.shape[1:])
 
     def export_mesh(self, planes, path: str, grid_size: int = 192,
                     aabb: float = 0.45, threshold: float = 10.0):
         """Per-instance mesh export (reference 192³ grid, σ>10, −90° x)."""
+        params = self.vae_params
+
         def decoder(coords):
-            return self.point_decoder_fn(planes[:1], coords)
+            return self.point_decoder_fn(params, planes[:1], coords)
 
         verts, colors, faces = extract_mesh(decoder, grid_size=grid_size,
                                             aabb=aabb, threshold=threshold)
@@ -128,10 +145,11 @@ class TextTo3DPipeline:
     def __call__(self, key, cond, uncond, batch: int = 1,
                  num_frames: int = 24, mesh_path: Optional[str] = None,
                  mesh_grid: int = 192):
-        k_sample, k_render = jax.random.split(key)
+        k_sample, _ = jax.random.split(key)
         latents = self.sample_latents(k_sample, batch, cond, uncond)
-        planes = self.decode_fn(latents / self.spec.triplane_scaling_divider)
-        video = self.render_orbit(planes, None, num_frames)
+        planes = self._decode_jit(
+            self.vae_params, latents / self.spec.triplane_scaling_divider)
+        video = self.render_orbit(planes, num_frames)
         out = {'latents': latents, 'planes': planes, 'video': video}
         if mesh_path:
             verts, faces = self.export_mesh(planes, mesh_path,

@@ -9,6 +9,7 @@ it runs random-weight (pipeline smoke / timing mode).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -80,11 +81,16 @@ def main():
     ctx0 = {'crossattn': jnp.zeros((2, 77, den_cfg.context_dim))}
     den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0, t0, ctx0)
 
+    render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
     latent0 = jnp.zeros((1, vae_cfg.latent_size, vae_cfg.latent_size,
                          vae_cfg.latent_channels))
-    vae_vars = jax.jit(
-        lambda k, l: vae.init(k, l, method=vae.decode_latent))(
-            jax.random.PRNGKey(2), latent0)
+    cam0 = jnp.zeros((1, 25)).at[:, 0].set(1).at[:, 5].set(1) \
+        .at[:, 10].set(1).at[:, 15].set(1).at[:, 16].set(1) \
+        .at[:, 20].set(1).at[:, 24].set(1)
+    vae_vars = vae.init(jax.random.PRNGKey(2), latent0, cam0,
+                        dataclasses.replace(render_opts, depth_resolution=4,
+                                            depth_resolution_importance=4),
+                        8, method=vae.init_decoder_paths)
     text_vars = jax.jit(text_model.init)(
         jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32))
 
@@ -97,28 +103,25 @@ def main():
             args.vae_ckpt, vae_vars['params']),
             **{k: v for k, v in vae_vars.items() if k != 'params'}}
 
-    # -- pipeline ----------------------------------------------------------
-    render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
+    # -- pipeline (params are explicit jit args everywhere) ---------------
+    def denoiser_fn(params, x, t, context):
+        return denoiser.apply(params, x, t, context)
 
-    def denoiser_fn(x, t, context):
-        return denoiser.apply(den_vars, x, t, context)
+    def decode_fn(params, latents):
+        return vae.apply(params, latents, method=vae.decode_latent)
 
-    decode_fn = jax.jit(
-        lambda latents: vae.apply(vae_vars, latents,
-                                  method=vae.decode_latent))
-
-    def render_fn(planes, cam25, key):
-        return vae.apply(vae_vars, planes, cam25, render_opts,
-                         args.render_resolution, key,
+    def render_fn(params, planes, cam25):
+        return vae.apply(params, planes, cam25, render_opts,
+                         args.render_resolution, None,
                          method=vae.render)['image_raw']
-    render_fn = jax.jit(render_fn)
 
-    def point_decoder_fn(planes, coords):
-        return vae.apply(vae_vars, planes, coords, render_opts.box_warp,
+    def point_decoder_fn(params, planes, coords):
+        return vae.apply(params, planes, coords, render_opts.box_warp,
                          method=vae.query_points)
 
     pipeline = TextTo3DPipeline(
-        denoiser_fn, decode_fn, render_fn, point_decoder_fn,
+        denoiser_fn, den_vars, decode_fn, vae_vars, render_fn,
+        point_decoder_fn,
         sampler=SamplerSpec(
             kind='flow_matching' if args.objective == 'flow_matching'
             else 'ddim',
@@ -128,8 +131,9 @@ def main():
                                  timestep_respacing=f'ddim{args.num_steps}'))
 
     # -- per-prompt loop ---------------------------------------------------
-    encode_text = jax.jit(
-        lambda ids: text_model.apply(text_vars, ids)['last_hidden_state'])
+    encode_text_raw = jax.jit(
+        lambda vars, ids: text_model.apply(vars, ids)['last_hidden_state'])
+    encode_text = lambda ids: encode_text_raw(text_vars, ids)
     uncond_ids = jnp.asarray(tokenizer(['']))
 
     for p_i, prompt in enumerate(args.prompts):

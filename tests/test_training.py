@@ -1,0 +1,147 @@
+"""End-to-end trainer tests on the 8-device CPU mesh: the VAE patch-ray
+trainer and the LDM trainer must run real pjit steps and reduce loss
+(the reference's only correctness check was overfit mode — SURVEY §4)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ln3diff_tpu.data.synthetic import load_memory_data
+from ln3diff_tpu.models.dit import DiT2Config, DiT_TriLatent, DiTConfig
+from ln3diff_tpu.models.vae import TriplaneVAEConfig
+from ln3diff_tpu.parallel.mesh import MeshConfig, make_mesh
+from ln3diff_tpu.render.renderer import RenderOptions
+from ln3diff_tpu.training.ldm_trainer import LDMTrainConfig, LDMTrainer
+from ln3diff_tpu.training.losses import LossConfig
+from ln3diff_tpu.training.vae_trainer import VAETrainConfig, VAETrainer
+
+
+def tiny_vae_cfg():
+    return TriplaneVAEConfig(
+        encoder_in_channels=10, encoder_ch=8, encoder_ch_mult=(1, 2),
+        encoder_res_blocks=1, img_resolution=32, num_views=2,
+        ldm_z_channels=4, latent_size=16,
+        dit2=DiT2Config(tokens_per_plane=64, hidden_size=32, depth=2,
+                        num_heads=2, dtype=jnp.float32),
+        patch_size=2, conv_sr_ch=8, conv_sr_ch_mult=(1, 2),
+        conv_sr_res_blocks=1, plane_channels=8, decoder_output_dim=8,
+        dtype=jnp.float32)
+
+
+class TestVAETrainer:
+
+    def test_overfit_loss_decreases(self):
+        mesh = make_mesh(MeshConfig(data=1),
+                         devices=jax.devices()[:1])  # single device for speed
+        opts = RenderOptions(depth_resolution=8,
+                             depth_resolution_importance=8,
+                             ray_start='auto', ray_end='auto', box_warp=1.0,
+                             filter_out_of_bbox=True)
+        trainer = VAETrainer(
+            tiny_vae_cfg(),
+            VAETrainConfig(lr=3e-3, patch_resolution=8,
+                           render_resolution=16, log_interval=1000),
+            LossConfig(depth_lambda=0.0, lpips_lambda=0.0),
+            render_opts=opts, mesh=mesh, seed=0)
+        data = load_memory_data(1, num_views=2, resolution=32,
+                                render_resolution=16)
+        example = trainer.prepare_batch(next(data))
+        trainer.build(next(data))
+
+        losses = []
+        state = trainer._state
+        for i in range(30):
+            batch = trainer.prepare_batch(next(data))
+            state, metrics = trainer._step_fn(
+                state, batch, jax.random.fold_in(jax.random.PRNGKey(7), i))
+            losses.append(float(metrics['loss']))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
+
+    def test_patch_crop_consistency(self):
+        """The GT crop must match the rays' patch window: rendering with
+        zero-density planes gives white; crop shapes line up."""
+        trainer = VAETrainer(
+            tiny_vae_cfg(),
+            VAETrainConfig(patch_resolution=8, render_resolution=16),
+            LossConfig(),
+            mesh=make_mesh(MeshConfig(data=1), devices=jax.devices()[:1]))
+        data = load_memory_data(1, num_views=2, resolution=32,
+                                render_resolution=16)
+        batch = trainer.prepare_batch(next(data))
+        assert batch['patch_h'].shape == (2,)
+        assert int(batch['patch_h'].max()) <= 16 - 8
+
+
+class TestLDMTrainer:
+
+    @pytest.mark.parametrize('objective', ['flow_matching', 'ddpm', 'edm'])
+    def test_objectives_run_and_learn(self, objective):
+        mesh = make_mesh(MeshConfig(data=2, fsdp=1),
+                         devices=jax.devices()[:2])
+        cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                        hidden_size=32, depth=2, num_heads=2,
+                        variant='text', context_dim=16, dtype=jnp.float32)
+        model = DiT_TriLatent(cfg)
+        trainer = LDMTrainer(
+            model, LDMTrainConfig(objective=objective, lr=2e-3,
+                                  triplane_scaling_divider=1.0,
+                                  log_interval=1000),
+            mesh=mesh)
+
+        rng = np.random.default_rng(0)
+        fixed_latent = rng.standard_normal((4, 8, 8, 12)).astype(np.float32)
+
+        def data():
+            while True:
+                yield {'latent': fixed_latent,
+                       'context': {'crossattn': np.ones((4, 7, 16),
+                                                        np.float32)}}
+
+        it = data()
+        trainer.build(next(it))
+        state0 = trainer._state
+        batch = jax.tree_util.tree_map(jnp.asarray, next(it))
+
+        # fixed-key loss eval isolates learning from t-sampling noise
+        eval_key = jax.random.PRNGKey(99)
+
+        def eval_loss(state):
+            loss, _ = trainer._loss_fn(state.params, state.constants, batch,
+                                       eval_key)
+            return float(loss)
+
+        loss_before = eval_loss(state0)
+        state = state0
+        for i in range(40):
+            state, metrics = trainer._step_fn(
+                state, batch, jax.random.fold_in(jax.random.PRNGKey(3), i))
+            assert np.isfinite(float(metrics['loss']))
+        loss_after = eval_loss(state)
+        assert loss_after < loss_before, (loss_before, loss_after)
+
+    def test_ema_moves_toward_params(self):
+        mesh = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
+        cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                        hidden_size=32, depth=2, num_heads=2,
+                        variant='text', context_dim=16, dtype=jnp.float32)
+        trainer = LDMTrainer(DiT_TriLatent(cfg),
+                             LDMTrainConfig(objective='flow_matching',
+                                            lr=1e-2, ema_rate=0.5,
+                                            triplane_scaling_divider=1.0),
+                             mesh=mesh)
+        batch = {'latent': jnp.ones((2, 8, 8, 12)),
+                 'context': {'crossattn': jnp.ones((2, 7, 16))}}
+        trainer.build(batch)
+        s0 = trainer._state
+        s1, _ = trainer._step_fn(s0, batch, jax.random.PRNGKey(0))
+        # after one step, ema must lag params on at least one updated leaf
+        diffs = [
+            not np.allclose(np.asarray(p), np.asarray(e))
+            for p, e in zip(jax.tree_util.tree_leaves(s1.params),
+                            jax.tree_util.tree_leaves(s1.ema_params['ema']))
+        ]
+        assert any(diffs)
