@@ -1,0 +1,163 @@
+"""GeneralConditioner: embedder list with classifier-free dropout.
+
+Rewrite of ``sgm/modules/encoders/modules.py:80`` (``GeneralConditioner``)
+and the embedder classes the released configs use
+(``FrozenCLIPEmbedder:347``, ``FrozenOpenCLIPImageEmbedder:578``,
+``FrozenDinov2ImageEmbedder:735``): each embedder declares its input key,
+output key (crossattn / vector / dino) and ucg (unconditional guidance
+dropout) rate; ``get_unconditional_conditioning`` produces the (c, uc)
+pair the samplers consume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Embedder:
+    """One conditioning tower.
+
+    encode: (batch_inputs) -> dict of output_key → array.
+    ucg_rate: probability of dropping to the unconditional value during
+    training (reference ucg_rate 0.1).
+    uncond_value: callable(batch) -> same-structure dict for the null
+    conditioning ('' caption / zero image).
+    """
+    input_key: str
+    encode: Callable[[Any], dict]
+    uncond: Callable[[int], dict]
+    ucg_rate: float = 0.0
+    is_trainable: bool = False
+    name: str = ''
+
+
+class GeneralConditioner:
+    def __init__(self, embedders: list[Embedder]):
+        self.embedders = embedders
+
+    def __call__(self, batch: dict, rng: Optional[np.random.Generator] = None,
+                 force_uncond: bool = False) -> dict:
+        """Encode the batch into a context dict, applying per-sample ucg
+        dropout when an rng is given (training)."""
+        out: dict = {}
+        for emb in self.embedders:
+            if emb.input_key not in batch and not force_uncond:
+                continue
+            if force_uncond:
+                n = len(batch[next(iter(batch))])
+                enc = emb.uncond(n)
+            else:
+                enc = emb.encode(batch[emb.input_key])
+                if rng is not None and emb.ucg_rate > 0:
+                    n = next(iter(enc.values())).shape[0]
+                    drop = rng.random(n) < emb.ucg_rate
+                    null = emb.uncond(n)
+                    enc = {k: jnp.where(
+                        jnp.asarray(drop).reshape(
+                            (-1,) + (1,) * (v.ndim - 1)),
+                        jnp.asarray(null[k]), v) for k, v in enc.items()}
+            for k, v in enc.items():
+                if k in out:
+                    out[k] = jnp.concatenate([out[k], v], axis=-1) \
+                        if k == 'vector' else jnp.concatenate(
+                            [out[k], v], axis=1)
+                else:
+                    out[k] = v
+        return out
+
+    def get_unconditional_conditioning(self, batch: dict):
+        """(c, uc) pair (reference ``get_unconditional_conditioning``)."""
+        c = self(batch)
+        n = next(iter(c.values())).shape[0]
+        uc: dict = {}
+        for emb in self.embedders:
+            for k, v in emb.uncond(n).items():
+                uc[k] = jnp.asarray(v) if k not in uc else uc[k]
+        return c, uc
+
+
+def make_clip_text_embedder(text_params, tokenizer=None,
+                            ucg_rate: float = 0.1,
+                            always_return_pooled: bool = True) -> Embedder:
+    """FrozenCLIPEmbedder: captions → crossattn tokens (+ pooled vector)."""
+    from .clip import CLIPTextModel, SimpleCLIPTokenizer
+
+    model = CLIPTextModel()
+    tokenizer = tokenizer or SimpleCLIPTokenizer()
+
+    @jax.jit
+    def encode_ids(params, ids):
+        out = model.apply(params, ids)
+        return out['last_hidden_state'], out['pooler_output']
+
+    def encode(captions):
+        ids = jnp.asarray(tokenizer(list(captions)))
+        tokens, pooled = encode_ids(text_params, ids)
+        enc = {'crossattn': tokens}
+        if always_return_pooled:
+            enc['vector'] = pooled
+        return enc
+
+    def uncond(n):
+        enc = encode([''] * n)
+        return enc
+
+    return Embedder(input_key='caption', encode=encode, uncond=uncond,
+                    ucg_rate=ucg_rate, name='clip_text')
+
+
+def make_clip_image_embedder(vision_params, ucg_rate: float = 0.1
+                             ) -> Embedder:
+    """FrozenOpenCLIPImageEmbedder(output_tokens): images → crossattn
+    spatial tokens (1024) + pooled vector."""
+    from .clip import CLIPVisionModel
+
+    model = CLIPVisionModel()
+
+    @jax.jit
+    def encode_imgs(params, imgs):
+        out = model.apply(params, imgs)
+        return out['tokens'], out['pooler_output']
+
+    def encode(images):
+        tokens, pooled = encode_imgs(vision_params, jnp.asarray(images))
+        return {'crossattn': tokens, 'vector': pooled}
+
+    def uncond(n):
+        img_hw = model.cfg.image_size
+        zeros = jnp.zeros((n, img_hw, img_hw, 3))
+        tokens, pooled = encode_imgs(vision_params, zeros)
+        return {'crossattn': jnp.zeros_like(tokens),
+                'vector': jnp.zeros_like(pooled)}
+
+    return Embedder(input_key='img', encode=encode, uncond=uncond,
+                    ucg_rate=ucg_rate, name='clip_image')
+
+
+def make_dino_embedder(vit_params, vit_model, proj_params=None,
+                       ucg_rate: float = 0.1) -> Embedder:
+    """FrozenDinov2ImageEmbedder: images → 'dino' spatial tokens for the
+    i23d self-attention concat path."""
+
+    @jax.jit
+    def encode_imgs(params, imgs):
+        return vit_model.apply(params, imgs)
+
+    def encode(images):
+        tokens = encode_imgs(vit_params, jnp.asarray(images))
+        return {'dino': tokens}
+
+    def uncond(n):
+        img_hw = vit_model.cfg.img_size
+        tokens = encode_imgs(vit_params,
+                             jnp.zeros((n, img_hw, img_hw, 3)))
+        return {'dino': jnp.zeros_like(tokens)}
+
+    return Embedder(input_key='img', encode=encode, uncond=uncond,
+                    ucg_rate=ucg_rate, name='dino')

@@ -1,0 +1,148 @@
+"""Interactive demo entry (reference ``scripts/gradio_app.py:90-365``).
+
+With gradio installed: a web UI around the image→3D pipeline (background
+removal hook, checkpoint download hook, orbit video + mesh download).
+Without gradio (zero-egress images): falls back to a CLI loop driving the
+same ``run_i23d`` function, so the demo path stays exercised.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def build_runner(args):
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ln3diff_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from ln3diff_tpu.config import RENDER_PRESETS, denoiser_preset, vae_preset
+    from ln3diff_tpu.conditioning.clip import CLIPVisionModel
+    from ln3diff_tpu.models.dit import DiT_TriLatent
+    from ln3diff_tpu.models.vae import TriplaneVAE
+    from ln3diff_tpu.pipeline import (SamplerSpec, TextTo3DPipeline,
+                                      save_video_frames)
+
+    den_cfg = denoiser_preset('i23d-pixart-l2')
+    denoiser = DiT_TriLatent(den_cfg)
+    vae = TriplaneVAE(vae_preset('objaverse-s'))
+    vision = CLIPVisionModel()
+
+    render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
+
+    key = jax.random.PRNGKey(args.seed)
+    x0 = jnp.zeros((2, 32, 32, 12))
+    ctx0 = {'crossattn': jnp.zeros((2, 257, 1024)),
+            'vector': jnp.zeros((2, 768)),
+            'dino': jnp.zeros((2, 16, den_cfg.hidden_size))}
+    den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0,
+                                      jnp.zeros((2,)), ctx0)
+    cam0 = jnp.zeros((1, 25))
+    vae_vars = vae.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 12)), cam0,
+        dataclasses.replace(render_opts, depth_resolution=4,
+                            depth_resolution_importance=4), 8,
+        method=vae.init_decoder_paths)
+    vis_vars = jax.jit(vision.init)(jax.random.PRNGKey(3),
+                                    jnp.zeros((1, 224, 224, 3)))
+
+    encode_img = jax.jit(lambda v, img: vision.apply(v, img))
+
+    pipeline = TextTo3DPipeline(
+        lambda p, x, t, c: denoiser.apply(p, x, t, c), den_vars,
+        lambda p, l: vae.apply(p, l, method=vae.decode_latent), vae_vars,
+        lambda p, planes, cam: vae.apply(
+            p, planes, cam, render_opts, args.render_resolution, None,
+            method=vae.render)['image_raw'],
+        lambda p, planes, coords: vae.apply(
+            p, planes, coords, render_opts.box_warp,
+            method=vae.query_points),
+        sampler=SamplerSpec(kind='flow_matching',
+                            num_steps=args.num_steps, cfg_scale=4.0))
+
+    def run_i23d(image_np: 'np.ndarray', outdir: str, tag: str = 'out'):
+        """image_np: (H, W, 3) uint8 → orbit frames + mesh paths."""
+        os.makedirs(outdir, exist_ok=True)
+        img = jnp.asarray(image_np.astype(np.float32) / 127.5 - 1.0)
+        img = jax.image.resize(img[None], (1, 224, 224, 3), 'bilinear')
+        enc = encode_img(vis_vars, img)
+        cond = {'crossattn': enc['tokens'][:, :, :1024],
+                'vector': enc['pooler_output'][:, :768]}
+        uncond = {'crossattn': jnp.zeros_like(cond['crossattn']),
+                  'vector': jnp.zeros_like(cond['vector'])}
+        nonlocal key
+        key, k = jax.random.split(key)
+        mesh_path = os.path.join(outdir, f'{tag}.obj')
+        out = pipeline(k, cond, uncond, batch=1,
+                       num_frames=args.num_frames, mesh_path=mesh_path,
+                       mesh_grid=args.mesh_grid)
+        frames = save_video_frames(np.asarray(out['video'][0]),
+                                   os.path.join(outdir, tag))
+        return frames, mesh_path
+
+    return run_i23d
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--outdir', default='/tmp/ln3diff-demo')
+    parser.add_argument('--num_steps', type=int, default=75)
+    parser.add_argument('--num_frames', type=int, default=12)
+    parser.add_argument('--render_resolution', type=int, default=128)
+    parser.add_argument('--mesh_grid', type=int, default=128)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--image', default='',
+                        help='CLI mode: input image path')
+    args = parser.parse_args()
+
+    run_i23d = build_runner(args)
+
+    try:
+        import gradio as gr
+        have_gradio = True
+    except ImportError:
+        have_gradio = False
+
+    if have_gradio and not args.image:
+        import numpy as np
+
+        def infer(image):
+            frames, mesh = run_i23d(np.asarray(image), args.outdir)
+            return frames, mesh
+
+        demo = gr.Interface(
+            fn=infer,
+            inputs=gr.Image(type='numpy', label='input view'),
+            outputs=[gr.Gallery(label='orbit views'),
+                     gr.File(label='mesh (.obj)')],
+            title='ln3diff-tpu image→3D')
+        demo.launch()
+        return
+
+    # CLI fallback
+    import numpy as np
+    from PIL import Image
+
+    if args.image:
+        img = np.asarray(Image.open(args.image).convert('RGB'))
+    else:
+        print('no gradio and no --image given; using a synthetic render')
+        from ln3diff_tpu.data.synthetic import make_multiview_batch
+        batch = make_multiview_batch(num_views=1, resolution=224,
+                                     render_resolution=224)
+        img = ((batch['img_hr'][0] + 1) * 127.5).astype(np.uint8)
+
+    frames, mesh = run_i23d(img, args.outdir)
+    print(f'wrote {len(frames)} frames and {mesh}')
+
+
+if __name__ == '__main__':
+    main()
