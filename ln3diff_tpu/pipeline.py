@@ -110,18 +110,39 @@ class TextTo3DPipeline:
 
     def render_orbit(self, planes, num_frames: int = 24,
                      radius: float = 1.8, fov: float = 30.0,
-                     pitch_deg: float = 20.0):
+                     pitch_deg: float = 20.0,
+                     frames_per_call: Optional[int] = None,
+                     render_resolution: Optional[int] = None,
+                     samples_per_ray: int = 128,
+                     hbm_budget_bytes: float = 4e9):
         """Render the evaluation orbit → (B, F, H, W, 3) in [-1, 1].
 
-        All F frames are folded into the batch for one render call.
+        Frames fold into the batch in chunks — enough to amortize the
+        gather-table build, small enough that the transient
+        gathered-corner tensor (frames·3·rays·samples·4C·4B) stays within
+        ``hbm_budget_bytes``.
         """
+        if frames_per_call is None:
+            C = planes.shape[-1]
+            res = render_resolution or 128
+            bytes_per_frame = 3 * res * res * samples_per_ray * 4 * C * 4
+            frames_per_call = max(1, int(hbm_budget_bytes
+                                         // bytes_per_frame))
+            frames_per_call = min(frames_per_call, num_frames)
+        while num_frames % frames_per_call:
+            frames_per_call -= 1
         cams = jnp.asarray(orbit_cameras(num_frames, radius, fov,
                                          pitch_deg))
         B = planes.shape[0]
-        planes_f = jnp.repeat(planes, num_frames, axis=0)
-        cams_f = jnp.tile(cams, (B, 1))
-        imgs = self._render_jit(self.vae_params, planes_f, cams_f)
-        return imgs.reshape(B, num_frames, *imgs.shape[1:])
+        chunks = []
+        for f0 in range(0, num_frames, frames_per_call):
+            cam_chunk = cams[f0:f0 + frames_per_call]
+            planes_f = jnp.repeat(planes, frames_per_call, axis=0)
+            cams_f = jnp.tile(cam_chunk, (B, 1))
+            imgs = self._render_jit(self.vae_params, planes_f, cams_f)
+            chunks.append(imgs.reshape(B, frames_per_call,
+                                       *imgs.shape[1:]))
+        return jnp.concatenate(chunks, axis=1)
 
     def export_mesh(self, planes, path: str, grid_size: int = 192,
                     aabb: float = 0.45, threshold: float = 10.0):
@@ -144,12 +165,14 @@ class TextTo3DPipeline:
 
     def __call__(self, key, cond, uncond, batch: int = 1,
                  num_frames: int = 24, mesh_path: Optional[str] = None,
-                 mesh_grid: int = 192):
+                 mesh_grid: int = 192,
+                 render_resolution: Optional[int] = None):
         k_sample, _ = jax.random.split(key)
         latents = self.sample_latents(k_sample, batch, cond, uncond)
         planes = self._decode_jit(
             self.vae_params, latents / self.spec.triplane_scaling_divider)
-        video = self.render_orbit(planes, num_frames)
+        video = self.render_orbit(planes, num_frames,
+                                  render_resolution=render_resolution)
         out = {'latents': latents, 'planes': planes, 'video': video}
         if mesh_path:
             verts, faces = self.export_mesh(planes, mesh_path,

@@ -83,7 +83,8 @@ def build_runner(args):
         mesh_path = os.path.join(outdir, f'{tag}.obj')
         out = pipeline(k, cond, uncond, batch=1,
                        num_frames=args.num_frames, mesh_path=mesh_path,
-                       mesh_grid=args.mesh_grid)
+                       mesh_grid=args.mesh_grid,
+                       render_resolution=args.render_resolution)
         frames = save_video_frames(np.asarray(out['video'][0]),
                                    os.path.join(outdir, tag))
         return frames, mesh_path

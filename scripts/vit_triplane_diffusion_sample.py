@@ -145,7 +145,8 @@ def main():
             if args.export_mesh else None
         out = pipeline(k, cond, uncond, batch=1,
                        num_frames=args.num_frames, mesh_path=mesh_path,
-                       mesh_grid=args.mesh_grid)
+                       mesh_grid=args.mesh_grid,
+                       render_resolution=args.render_resolution)
         frames = np.asarray(out['video'][0])
         save_video_frames(frames, os.path.join(args.outdir, f'{p_i:02d}'))
         wall = time.perf_counter() - t_start
