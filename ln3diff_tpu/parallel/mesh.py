@@ -76,6 +76,51 @@ def param_sharding_rules(params, mesh: Mesh, min_size_to_shard: int = 2**18):
     return jax.tree_util.tree_map(rule, params)
 
 
+def tensor_parallel_rules(params, mesh: Mesh,
+                          min_size_to_shard: int = 2**16):
+    """Tensor-parallel sharding for transformer params (GSPMD style).
+
+    Megatron-ish layout without touching model code: qkv / MLP-in kernels
+    shard their OUTPUT dim over 'tensor' (column-parallel); proj / MLP-out
+    kernels shard their INPUT dim (row-parallel); XLA/GSPMD propagates the
+    activation shardings and inserts the all-reduces.  Composes with the
+    fsdp axis (2D sharding) — the reference has no TP at all (only a
+    commented-out fairscale import, ``dit/dit_trilatent.py:13``).
+
+    Returns a pytree of NamedSharding matching ``params``.
+    """
+    tp = mesh.shape['tensor']
+    fsdp = mesh.shape['fsdp']
+
+    col_markers = ('qkv', 'fc1', 'to_q', 'to_k', 'to_v', 'q_proj',
+                   'k_proj', 'v_proj')
+    row_markers = ('proj', 'fc2', 'to_out', 'out_proj', 'mlp_img')
+
+    def rule(path, p):
+        names = [str(getattr(k, 'key', '')) for k in path]
+        joined = '/'.join(names)
+        if tp == 1 or p.size < min_size_to_shard or p.ndim < 2:
+            return NamedSharding(mesh, P())
+        is_kernel = names[-1] == 'kernel'
+        if is_kernel and any(m in joined for m in col_markers) \
+                and p.shape[-1] % tp == 0:
+            spec = [None] * p.ndim
+            spec[-1] = 'tensor'
+            if fsdp > 1 and p.shape[-2] % fsdp == 0:
+                spec[-2] = 'fsdp'
+            return NamedSharding(mesh, P(*spec))
+        if is_kernel and any(m in joined for m in row_markers) \
+                and p.shape[-2] % tp == 0:
+            spec = [None] * p.ndim
+            spec[-2] = 'tensor'
+            if fsdp > 1 and p.shape[-1] % fsdp == 0:
+                spec[-1] = 'fsdp'
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def initialize_distributed():
     """Multi-host init (reference ``setup_dist``).  Safe to call when
     single-host (no-op)."""
