@@ -11,7 +11,8 @@ intr = np.array([[1.58,0,.5],[0,1.58,.5],[0,0,1]],np.float32)[None]
 o, d = sample_full_rays(jnp.asarray(c2w), jnp.asarray(intr), res)
 opts = RenderOptions(depth_resolution=64, depth_resolution_importance=64,
                      ray_start='auto', ray_end='auto', box_warp=0.9,
-                     filter_out_of_bbox=True, deterministic=True)
+                     filter_out_of_bbox=True, deterministic=True,
+                     unify_bf16=True)
 
 def decoder(feats, dirs):
     x = jnp.mean(feats, axis=1)

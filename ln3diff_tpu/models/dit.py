@@ -328,6 +328,7 @@ class DiTConfig:
     mlp_ratio: int = 4
     plane_n: int = 3
     context_dim: int = 768
+    dino_dim: int = 768           # raw DINO token dim (i23d variants)
     variant: str = 'text'         # DiTBlock variant
     pooled_vector_dim: int = 0    # >0 → add cap_embedder(vector) to t
     t2i_final: bool = False
@@ -384,6 +385,13 @@ class DiT_TriLatent(nn.Module):
                 name='clip_text_proj')(crossattn.astype(dtype))
         elif crossattn is not None:
             crossattn = crossattn.astype(dtype)
+        if dino is not None and cfg.variant.startswith('image-'):
+            # raw DINO tokens → hidden (reference dino_proj,
+            # dit/dit_i23d.py:60-64); CLIP spatial tokens stay raw for the
+            # cross-attention (context_dim=1024).
+            dino = CaptionEmbedder(cfg.hidden_size,
+                                   context_dim=cfg.dino_dim, dtype=dtype,
+                                   name='dino_proj')(dino.astype(dtype))
 
         pixelart = cfg.variant in ('pixelart-text', 'image-pixelart',
                                    'image-pixelart-noclip')

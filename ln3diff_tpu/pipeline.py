@@ -70,8 +70,8 @@ class TextTo3DPipeline:
 
         self._sample_jit = jax.jit(self._sample_impl,
                                    static_argnames=('batch',))
-        self._decode_jit = jax.jit(decode_fn)
-        self._render_jit = jax.jit(render_fn)
+        self._decode_jit = jax.jit(decode_fn) if decode_fn else None
+        self._render_jit = jax.jit(render_fn) if render_fn else None
 
     # -- latent sampling ---------------------------------------------------
 

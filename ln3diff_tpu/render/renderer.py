@@ -54,6 +54,8 @@ class RenderOptions:
     sampler_bbox_max: float = 0.45
     # Stratified jitter / stochastic PDF sampling (off for eval).
     deterministic: bool = False
+    # bf16 payload in the coarse+fine merge sort (inference speed knob).
+    unify_bf16: bool = False
 
     @property
     def samples_total(self) -> int:
@@ -279,25 +281,31 @@ def sample_importance(key: jax.Array | None, z_vals: jax.Array,
     return samples.reshape(B, R, n_importance, 1)
 
 
-def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
+def unify_samples(depths1, colors1, densities1, depths2, colors2,
+                  densities2, payload_dtype=None):
     """Concatenate coarse+fine samples and depth-sort (reference :422-435).
 
     TPU note: implemented as ONE multi-operand ``lax.sort`` along the minor
     axis instead of argsort + take_along_axis — the gathers behind
-    take_along_axis cost ~40x more than the sort network on TPU."""
+    take_along_axis cost ~40x more than the sort network on TPU.
+    ``payload_dtype=bfloat16`` halves the sort payload (colors/densities)
+    for inference; the depth key stays f32."""
     all_depths = jnp.concatenate([depths1, depths2], axis=-2)
     all_colors = jnp.concatenate([colors1, colors2], axis=-2)
     all_densities = jnp.concatenate([densities1, densities2], axis=-2)
 
     B, R, S, C = all_colors.shape
     vals = jnp.concatenate([all_densities, all_colors], axis=-1)  # (B,R,S,1+C)
+    out_dtype = vals.dtype
+    if payload_dtype is not None:
+        vals = vals.astype(payload_dtype)
     vals = jnp.swapaxes(vals, -1, -2)                             # (B,R,1+C,S)
     key = jnp.broadcast_to(jnp.swapaxes(all_depths, -1, -2)[:, :, :1],
                            vals.shape)                            # (B,R,1+C,S)
     key_sorted, vals_sorted = jax.lax.sort((key, vals), dimension=3,
                                            num_keys=1)
     all_depths = key_sorted[:, :, 0, :, None]
-    vals_sorted = jnp.swapaxes(vals_sorted, -1, -2)               # (B,R,S,1+C)
+    vals_sorted = jnp.swapaxes(vals_sorted, -1, -2).astype(out_dtype)
     all_densities = vals_sorted[..., :1]
     all_colors = vals_sorted[..., 1:]
     return all_depths, all_colors, all_densities
@@ -388,7 +396,8 @@ def render_rays(key: jax.Array | None, planes: jax.Array, decoder: DecoderFn,
         colors_fine, densities_fine = eval_points(depths_fine, n_imp)
         all_depths, all_colors, all_densities = unify_samples(
             depths_coarse, colors_coarse, densities_coarse,
-            depths_fine, colors_fine, densities_fine)
+            depths_fine, colors_fine, densities_fine,
+            payload_dtype=jnp.bfloat16 if opts.unify_bf16 else None)
         final = march_rays(all_colors, all_densities, all_depths,
                            white_back=opts.white_back)
     else:

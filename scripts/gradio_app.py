@@ -42,7 +42,7 @@ def build_runner(args):
     x0 = jnp.zeros((2, 32, 32, 12))
     ctx0 = {'crossattn': jnp.zeros((2, 257, 1024)),
             'vector': jnp.zeros((2, 768)),
-            'dino': jnp.zeros((2, 16, den_cfg.hidden_size))}
+            'dino': jnp.zeros((2, 16, den_cfg.dino_dim))}
     den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0,
                                       jnp.zeros((2,)), ctx0)
     cam0 = jnp.zeros((1, 25))

@@ -68,7 +68,7 @@ class TestDiT:
             ctx['crossattn'] = jnp.ones((B, 77, 768))
         if variant == 'image-pixelart':
             ctx['crossattn'] = jnp.ones((B, 257, 1024))
-            ctx['dino'] = jnp.ones((B, 10, hidden))
+            ctx['dino'] = jnp.ones((B, 10, 768))
         if variant in ('pixelart-text', 'image-pixelart'):
             ctx['vector'] = jnp.ones((B, 768))
         return ctx
