@@ -54,9 +54,14 @@ def main():
     with open(os.path.join(cfg.logdir, 'args.json'), 'w') as f:
         f.write(cfg.to_json())
 
+    base_cfg = cfg.vae_config()
+    latent_size = args.encoder_resolution // 8  # SD encoder /8 downsample
     model_cfg = dataclasses.replace(
-        cfg.vae_config(), num_views=args.num_views,
-        img_resolution=args.encoder_resolution)
+        base_cfg, num_views=args.num_views,
+        img_resolution=args.encoder_resolution, latent_size=latent_size,
+        dit2=dataclasses.replace(
+            base_cfg.dit2,
+            tokens_per_plane=(latent_size // base_cfg.patch_size)**2))
     train_cfg = VAETrainConfig(
         lr=cfg.lr, patch_resolution=cfg.patch_rendering_resolution,
         render_resolution=args.render_resolution,
