@@ -273,3 +273,57 @@ class DualDiscriminator(nn.Module):
         cfg = dataclasses.replace(self.cfg,
                                   img_channels=2 * self.cfg.img_channels)
         return StyleGANDiscriminator(cfg, name='d')(x)
+
+
+def filtered_lrelu(x: jax.Array, fu: Optional[jax.Array] = None,
+                   fd: Optional[jax.Array] = None,
+                   bias: Optional[jax.Array] = None,
+                   up: int = 2, down: int = 2, gain: float = math.sqrt(2),
+                   slope: float = 0.2, clamp: Optional[float] = None
+                   ) -> jax.Array:
+    """Fused upsample → bias → leaky-ReLU → clamp → downsample
+    (reference ``utils/torch_utils/ops/filtered_lrelu.py:66-377``, the
+    StyleGAN3 antialiased nonlinearity).  Plain jnp ops — XLA fuses the
+    chain; the CUDA sign-caching trick is unnecessary under JAX autodiff.
+    """
+    if fu is None:
+        fu = setup_filter()
+    if fd is None:
+        fd = setup_filter()
+    if bias is not None:
+        x = x + bias.astype(x.dtype)
+    x = upsample2d(x, fu, up=up)
+    x = nn.leaky_relu(x, slope) * gain
+    if clamp is not None:
+        x = jnp.clip(x, -clamp, clamp)
+    return downsample2d(x, fd, down=down)
+
+
+class PixelUnshuffleUpsample(nn.Module):
+    """Pixel-shuffle SR head (reference
+    ``utils/torch_utils/components.py:323-344``)."""
+    num_feat: int = 128
+    num_out_ch: int = 3
+    sr_ratio: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, input_skip_connection: bool = True):
+        C = x.shape[-1]
+        h = nn.Conv(C, (3, 3), dtype=self.dtype, name='conv_after_body')(x)
+        x = h + x if input_skip_connection else h
+        x = nn.leaky_relu(
+            nn.Conv(self.num_feat, (3, 3), dtype=self.dtype,
+                    name='conv_before_upsample')(x), 0.01)
+        # pixel shuffle: conv to r^2*feat then depth-to-space, per 2x stage
+        r = 2
+        stages = int(math.log2(self.sr_ratio))
+        for i in range(stages):
+            x = nn.Conv(self.num_feat * r * r, (3, 3), dtype=self.dtype,
+                        name=f'up_conv_{i}')(x)
+            B, H, W, _ = x.shape
+            x = x.reshape(B, H, W, r, r, self.num_feat)
+            x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+                B, H * r, W * r, self.num_feat)
+        return nn.Conv(self.num_out_ch, (3, 3), dtype=self.dtype,
+                       name='conv_last')(x)

@@ -66,7 +66,7 @@ class VAETrainer:
                  loss_cfg: LossConfig = LossConfig(),
                  render_opts: Optional[RenderOptions] = None,
                  mesh=None, seed: int = 0,
-                 lpips_fn=None):
+                 lpips_fn=None, adversarial=None):
         self.model = TriplaneVAE(model_cfg)
         self.model_cfg = model_cfg
         self.cfg = train_cfg
@@ -78,6 +78,9 @@ class VAETrainer:
         self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
         self.rng = np.random.default_rng(seed)
         self.lpips_fn = lpips_fn
+        # optional AdversarialHead (reference nv_rec_patch_mvE_disc /
+        # E3DGE_with_AdvLoss): D trains on (GT patch, rendered patch).
+        self.adversarial = adversarial
 
         self._state = None
         self._step_fn = None
@@ -145,6 +148,10 @@ class VAETrainer:
         total, terms = reconstruction_losses(
             pred, target, self.loss_cfg, kl=posterior.kl(),
             step=None, lpips_fn=self.lpips_fn)
+        if self.adversarial is not None:
+            g_adv = self.adversarial.generator_loss(pred['image_raw'])
+            total = total + g_adv
+            terms = dict(terms, g_adv=g_adv)
         return total, {k: v for k, v in terms.items()}
 
     def build(self, example_batch):
@@ -155,6 +162,32 @@ class VAETrainer:
             ema_rates=(('ema', self.cfg.ema_rate),),
             microbatch_steps=self.cfg.microbatch_steps)
         return self
+
+    def _disc_step(self, state, batch):
+        """One discriminator update on (GT patch, rendered patch)."""
+        cfg = self.cfg
+        variables = {'params': state.params, **(state.constants or {})}
+        model = self.model
+        patch = cfg.patch_resolution
+        moments = model.apply(variables, batch['img_to_encoder'],
+                              method=model.encode)
+        latent, _ = model.apply(variables, moments, None, False,
+                                method=model.reparameterize)
+        planes = model.apply(variables, latent, method=model.decode_latent)
+        BV = batch['c'].shape[0]
+        V = BV // planes.shape[0]
+        planes_v = jnp.repeat(planes, V, axis=0)
+        cam2world, intrinsics = unpack_25d_camera(batch['c'])
+        ray_o, ray_d = sample_patch_rays(cam2world, intrinsics,
+                                         batch['patch_h'], batch['patch_w'],
+                                         patch, cfg.render_resolution)
+        fake = model.apply(variables, planes_v, None, self.render_opts,
+                           patch, None, ray_origins=ray_o,
+                           ray_directions=ray_d,
+                           method=model.render)['image_raw']
+        real = _crop(batch['img'], batch['patch_h'], batch['patch_w'],
+                     patch)
+        return self.adversarial.disc_step(real, fake)
 
     # -- host-side batch prep ---------------------------------------------
 
@@ -188,6 +221,9 @@ class VAETrainer:
             state, metrics = self._step_fn(
                 state, batch, jax.random.fold_in(
                     jax.random.PRNGKey(1234), step_offset + i))
+            if self.adversarial is not None:
+                d_metrics = self._disc_step(state, batch)
+                metrics = dict(metrics, **d_metrics)
             if (i + 1) % self.cfg.log_interval == 0:
                 logger.log_loss_dict(
                     {k: float(v) for k, v in metrics.items()})
