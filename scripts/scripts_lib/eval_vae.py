@@ -16,15 +16,18 @@ import jax.numpy as jnp
 
 
 def eval_novelview_loop(trainer, data, cfg, save_latent: bool = False,
-                        num_instances: int = 1, num_views: int = 8):
+                        num_instances: int = 1, num_views: int = 8,
+                        use_ema: bool = False):
     from ln3diff_tpu.render.camera import orbit_cameras
     from ln3diff_tpu.pipeline import save_video_frames
     from ln3diff_tpu.utils import logger
 
     model = trainer.model
     state = trainer._state
-    variables = {'params': state.ema_params.get('ema', state.params),
-                 **(state.constants or {})}
+    # EMA at rate 0.9999 is ~init for short runs — default to live params.
+    params = state.ema_params.get('ema', state.params) if use_ema \
+        else state.params
+    variables = {'params': params, **(state.constants or {})}
     outdir = os.path.join(cfg.logdir, 'eval')
     os.makedirs(outdir, exist_ok=True)
 
