@@ -26,7 +26,6 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import grid_sample_2d_batched
 from . import math_utils
 from .ray_marcher import march_rays
 
