@@ -116,7 +116,10 @@ class LDMTrainer:
         return self
 
     def run_loop(self, data: Iterator[dict], num_steps: int,
-                 step_offset: int = 0):
+                 step_offset: int = 0, eval_fn=None,
+                 eval_interval: int = 0):
+        """eval_fn(state, step): in-training sampling eval hook
+        (reference eval_cldm cadence)."""
         assert self._step_fn is not None, 'call build() first'
         state = self._state
         for i in range(num_steps):
@@ -131,5 +134,9 @@ class LDMTrainer:
                     {k: float(v) for k, v in metrics.items()})
                 logger.logkv('step', step_offset + i + 1)
                 logger.dumpkvs()
+            if eval_fn is not None and eval_interval \
+                    and (i + 1) % eval_interval == 0:
+                self._state = state
+                eval_fn(state, step_offset + i + 1)
         self._state = state
         return state

@@ -211,7 +211,10 @@ class VAETrainer:
     # -- loop --------------------------------------------------------------
 
     def run_loop(self, data: Iterator[dict], num_steps: Optional[int] = None,
-                 step_offset: int = 0):
+                 step_offset: int = 0, eval_fn=None,
+                 eval_interval: int = 0):
+        """eval_fn(state, step) is the in-training visual-eval hook
+        (reference eval_novelview_loop / log_control_images cadence)."""
         assert self._step_fn is not None, 'call build() first'
         num_steps = num_steps or self.cfg.total_steps
         state = self._state
@@ -229,5 +232,9 @@ class VAETrainer:
                     {k: float(v) for k, v in metrics.items()})
                 logger.logkv('step', step_offset + i + 1)
                 logger.dumpkvs()
+            if eval_fn is not None and eval_interval \
+                    and (i + 1) % eval_interval == 0:
+                self._state = state
+                eval_fn(state, step_offset + i + 1)
         self._state = state
         return state
