@@ -55,8 +55,9 @@ def eval_novelview_loop(trainer, data, cfg, save_latent: bool = False,
         imgs = jnp.asarray(batch['img_to_encoder'])
         latent, planes = encode_decode(variables, imgs)
         if save_latent:
+            # cast: bf16 arrays round-trip through np.save as void dtype
             np.save(os.path.join(outdir, f'latent_{i:04d}.npy'),
-                    np.asarray(latent))
+                    np.asarray(latent, dtype=np.float32))
         frames = []
         for v in range(num_views):
             cam = jnp.broadcast_to(jnp.asarray(cams[v])[None],

@@ -25,7 +25,8 @@ def latent_stream(latent_dir: str, batch: int, shape, context_dim: int,
     files = sorted(glob.glob(os.path.join(latent_dir, '*.npy'))) \
         if latent_dir else []
     if files:
-        latents = np.concatenate([np.load(f) for f in files], axis=0)
+        latents = np.concatenate(
+            [np.load(f).astype(np.float32) for f in files], axis=0)
     else:
         latents = rng.standard_normal((max(batch, 8),) + tuple(shape)
                                       ).astype(np.float32)
@@ -46,6 +47,10 @@ def main():
     parser = argparse.ArgumentParser()
     add_config_to_argparser(parser, ExperimentConfig())
     parser.add_argument('--latent_dir', type=str, default='')
+    parser.add_argument('--latent_size', type=int, default=0,
+                        help='override denoiser input size (latent h=w)')
+    parser.add_argument('--denoiser_scale', default='',
+                        help="override preset, e.g. 'DiT-B/2'")
     args = parser.parse_args()
     cfg = args_to_config(args)
 
@@ -66,7 +71,15 @@ def main():
     with open(os.path.join(cfg.logdir, 'args.json'), 'w') as f:
         f.write(cfg.to_json())
 
+    import dataclasses as _dc
     den_cfg = denoiser_preset(cfg.denoiser)
+    if args.denoiser_scale:
+        from ln3diff_tpu.models.dit import dit_registry
+        den_cfg = dit_registry(args.denoiser_scale,
+                               input_size=den_cfg.input_size,
+                               in_channels=den_cfg.in_channels)
+    if args.latent_size and hasattr(den_cfg, 'input_size'):
+        den_cfg = _dc.replace(den_cfg, input_size=args.latent_size)
     if isinstance(den_cfg, UNetConfig):
         model = UNetModel(den_cfg)
         latent_hw = 32
