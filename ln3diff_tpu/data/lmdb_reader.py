@@ -57,7 +57,7 @@ def decompress_array(data: bytes, method: str = 'gzip') -> np.ndarray:
 class LMDBDataset:
     """Random-access LMDB multi-view dataset (requires the lmdb pkg)."""
 
-    FIELDS = ('raw_img', 'depth', 'c', 'bbox')
+    FIELDS = ('raw_img', 'img', 'depth', 'depth_mask', 'c', 'bbox', 'ins')
 
     def __init__(self, path: str, compress: str = 'gzip'):
         assert _lmdb is not None, (

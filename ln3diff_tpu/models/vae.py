@@ -189,12 +189,23 @@ class TriplaneVAE(nn.Module):
 
     # -- rendering --------------------------------------------------------
 
+    def _fused_osg(self):
+        """Build the fused Pallas point pipeline from this module's bound
+        OSG params (inference paths; OSGDecoder only)."""
+        from ..ops.fused_render import fused_osg_from_params
+        assert not self.cfg.lrm_decoder, \
+            'fused OSG kernel supports the OSGDecoder arch only'
+        return fused_osg_from_params(
+            self.osg_decoder.variables['params'],
+            lr_multiplier=self.osg_decoder.decoder_lr_mul,
+            activation=self.osg_decoder.activation)
+
     def render(self, planes: jax.Array, camera25: jax.Array,
                render_opts: RenderOptions, resolution: int,
                key: Optional[jax.Array] = None,
                ray_origins: Optional[jax.Array] = None,
                ray_directions: Optional[jax.Array] = None,
-               apply_sr: bool = True):
+               apply_sr: bool = True, use_fused_osg: bool = False):
         """Volume-render planes for cameras (25-dim labels) or given rays.
 
         Returns dict: image_raw (B,res,res,3), feature_image, image_depth,
@@ -206,7 +217,9 @@ class TriplaneVAE(nn.Module):
                 cam2world, intrinsics, resolution)
         out = render_rays(key, planes,
                           lambda f, d: self.osg_decoder(f, d),
-                          ray_origins, ray_directions, render_opts)
+                          ray_origins, ray_directions, render_opts,
+                          fused_osg=self._fused_osg() if use_fused_osg
+                          else None)
         B, R = ray_origins.shape[:2]
         res_h = res_w = int(R**0.5) if ray_origins is not None else resolution
         feature_image = out.feature_samples.reshape(B, res_h, res_w, -1)
@@ -254,12 +267,20 @@ class TriplaneVAE(nn.Module):
     # -- point queries (mesh extraction) ----------------------------------
 
     def query_points(self, planes: jax.Array, coords: jax.Array,
-                     box_warp: float):
+                     box_warp: float, use_fused_osg: bool = False):
         """Dense σ/rgb queries for marching cubes (reference
         ``triplane_decode_grid``, ``vit/vit_triplane.py:1625-1692``).
 
         coords: (B, M, 3) world coordinates. Returns (rgb, sigma).
         """
-        from ..render.renderer import sample_from_planes
+        from ..render.renderer import (pack_corner_table, packed_gather,
+                                       project_onto_planes,
+                                       sample_from_planes)
+        if use_fused_osg:
+            B, n_planes, H, W, C = planes.shape
+            packed = pack_corner_table(planes)
+            proj = project_onto_planes((2.0 / box_warp) * coords)
+            rows, tx, ty, live = packed_gather(packed, proj, H, W)
+            return self._fused_osg()(rows, tx, ty, live)
         feats = sample_from_planes(planes, coords, box_warp)
         return self.osg_decoder(feats, None)

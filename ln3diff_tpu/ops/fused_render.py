@@ -1,0 +1,224 @@
+"""Fused triplane point pipeline: bilinear lerp → plane-mean → OSG MLP.
+
+The triplane hot loop (reference ``sample_from_planes`` +
+``OSGDecoder.forward``, ``nsr/volumetric_rendering/renderer.py:81-104``,
+``nsr/triplane.py:356-375``) decomposes on TPU into
+
+  1. an XLA gather of corner-packed feature rows (descriptor-bound, the
+     measured floor — see ``render/renderer.py:pack_corner_table``), and
+  2. a per-point pipeline: 4-corner FMA lerp, mean over the 3 planes, a
+     64-wide 2-layer MLP, sigmoid RGB clamping.
+
+Stage 2 is HBM-bound under stock XLA: the lerped features (B,3,M,C), the
+plane-mean (M,C) and the MLP hidden (M,64) each round-trip through HBM.
+This module fuses stage 2 into ONE Pallas kernel that streams the
+gathered rows tile-by-tile through VMEM and writes only the final
+(rgb, sigma) — the intermediates never leave the chip.
+
+``osg_pointwise_reference`` is the pure-jnp ground truth (the reference's
+``impl='ref'`` testing pattern); ``osg_pointwise_fused`` is the kernel.
+Inference-path only (no custom VJP yet) — trainers keep the jnp path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# points per kernel instance: (3, TILE, 4C) f32 = 3*512*128*4 B = 768 KiB
+# in VMEM with double buffering — comfortably under the ~16 MiB budget.
+TILE = 512
+
+
+def _sigmoid_clamp(rgb):
+    return jax.nn.sigmoid(rgb) * 1.002 - 0.001
+
+
+def osg_pointwise_reference(rows, tx, ty, live, w1, b1, w2, b2,
+                            activation: str = 'sigmoid'):
+    """Pure-jnp reference of the fused pipeline.
+
+    Args:
+      rows: (3, M, 4C) gathered corner rows [c00 | c01 | c10 | c11].
+      tx, ty, live: (3, M) bilinear fractions and validity (0 kills the
+        sample — the zero-padding ring of the packed table).
+      w1, b1, w2, b2: OSG MLP params with any equalized-lr scaling
+        already folded in; w1 (C, H), w2 (H, 1+C_out).
+    Returns:
+      rgb (M, C_out), sigma (M, 1).
+    """
+    C = w1.shape[0]
+    tx = tx[..., None]
+    ty = ty[..., None]
+    live = live[..., None]
+    w00 = (1 - tx) * (1 - ty) * live
+    w01 = tx * (1 - ty) * live
+    w10 = (1 - tx) * ty * live
+    w11 = tx * ty * live
+    f = (w00 * rows[..., :C] + w01 * rows[..., C:2 * C]
+         + w10 * rows[..., 2 * C:3 * C] + w11 * rows[..., 3 * C:])
+    x = jnp.mean(f, axis=0)
+    h = jax.nn.softplus(x @ w1 + b1)
+    out = h @ w2 + b2
+    sigma = out[:, :1]
+    rgb = out[:, 1:]
+    if activation == 'sigmoid':
+        rgb = _sigmoid_clamp(rgb)
+    elif activation == 'lrelu':
+        rgb = jax.nn.leaky_relu(rgb, 0.2) * jnp.sqrt(2.0)
+    return rgb, sigma
+
+
+def _kernel(rows_ref, tx_ref, ty_ref, live_ref, w1_ref, b1_ref, w2_ref,
+            b2_ref, rgb_ref, sigma_ref, *, activation: str):
+    C = w1_ref.shape[0]
+    rows = rows_ref[:]                       # (3, TILE, 4C)
+    tx = tx_ref[:][..., None]                # (3, TILE, 1)
+    ty = ty_ref[:][..., None]
+    live = live_ref[:][..., None]
+    w00 = (1 - tx) * (1 - ty) * live
+    w01 = tx * (1 - ty) * live
+    w10 = (1 - tx) * ty * live
+    w11 = tx * ty * live
+    f = (w00 * rows[..., :C] + w01 * rows[..., C:2 * C]
+         + w10 * rows[..., 2 * C:3 * C] + w11 * rows[..., 3 * C:])
+    x = (f[0] + f[1] + f[2]) * (1.0 / 3.0)   # (TILE, C)
+    h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    h = jax.nn.softplus(h + b1_ref[:])
+    out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    out = out + b2_ref[:]
+    sigma_ref[:] = out[:, :1]
+    rgb = out[:, 1:]
+    if activation == 'sigmoid':
+        rgb = _sigmoid_clamp(rgb)
+    elif activation == 'lrelu':
+        rgb = jax.nn.leaky_relu(rgb, 0.2) * jnp.sqrt(2.0)
+    rgb_ref[:] = rgb
+
+
+@functools.partial(jax.jit, static_argnames=('activation', 'interpret'))
+def osg_pointwise_fused(rows, tx, ty, live, w1, b1, w2, b2,
+                        activation: str = 'sigmoid',
+                        interpret: bool = False):
+    """Pallas-fused pipeline; same contract as the reference fn.
+
+    M is padded to a TILE multiple internally (padded tail has live=0).
+    """
+    n_planes, M, fourC = rows.shape
+    C = fourC // 4
+    H = w1.shape[1]
+    C_out = w2.shape[1] - 1
+    Mp = -(-M // TILE) * TILE
+    if Mp != M:
+        pad = ((0, 0), (0, Mp - M), (0, 0))
+        rows = jnp.pad(rows, pad)
+        tx = jnp.pad(tx, pad[:2])
+        ty = jnp.pad(ty, pad[:2])
+        live = jnp.pad(live, pad[:2])
+    b1 = b1.reshape(1, H)
+    b2 = b2.reshape(1, 1 + C_out)
+
+    grid = (Mp // TILE,)
+    rgb, sigma = pl.pallas_call(
+        functools.partial(_kernel, activation=activation),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_planes, TILE, fourC), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_planes, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_planes, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_planes, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1 + C_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1 + C_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE, C_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, C_out), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rows.astype(jnp.float32), tx.astype(jnp.float32),
+      ty.astype(jnp.float32), live.astype(jnp.float32),
+      w1.astype(jnp.float32), b1.astype(jnp.float32),
+      w2.astype(jnp.float32), b2.astype(jnp.float32))
+    return rgb[:M], sigma[:M]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FusedOSG:
+    """OSG MLP weights (equalized-lr scaling folded in) for the fused
+    kernel.  Pass to ``render_rays(..., fused_osg=...)`` /
+    ``TriplaneVAE.render(..., use_fused_osg=True)`` on inference paths."""
+    w1: jax.Array                  # (C, hidden)
+    b1: jax.Array                  # (hidden,)
+    w2: jax.Array                  # (hidden, 1 + C_out)
+    b2: jax.Array                  # (1 + C_out,)
+    activation: str = dataclasses.field(
+        default='sigmoid', metadata=dict(static=True))
+    interpret: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
+    def __call__(self, rows, tx, ty, live):
+        """Apply to batched gather output: rows (B, 3, M, 4C) →
+        rgb (B, M, C_out), sigma (B, M, 1)."""
+        if jax.default_backend() != 'tpu' and not self.interpret:
+            # Pallas TPU kernels don't lower on CPU/GPU — use the jnp
+            # reference (identical math; keeps CPU dryruns working).
+            fn = functools.partial(osg_pointwise_reference,
+                                   w1=self.w1, b1=self.b1.reshape(1, -1),
+                                   w2=self.w2, b2=self.b2.reshape(1, -1),
+                                   activation=self.activation)
+        else:
+            fn = functools.partial(osg_pointwise_fused,
+                                   w1=self.w1, b1=self.b1,
+                                   w2=self.w2, b2=self.b2,
+                                   activation=self.activation,
+                                   interpret=self.interpret)
+        if rows.shape[0] == 1:
+            rgb, sigma = fn(rows[0], tx[0], ty[0], live[0])
+            return rgb[None], sigma[None]
+        rgb, sigma = jax.vmap(fn)(rows, tx, ty, live)
+        return rgb, sigma
+
+
+def fused_osg_from_params(osg_params: dict, lr_multiplier: float = 1.0,
+                          activation: str = 'sigmoid',
+                          interpret: bool = False) -> FusedOSG:
+    """Fold EqualDense equalized-lr scaling (``models/layers.py``:
+    w·lr_mul/sqrt(fan_in), b·lr_mul) into plain matrices.
+
+    ``osg_params``: the ``'osg_decoder'`` subtree of the VAE params
+    (two EqualDense layers).
+    """
+    k0 = osg_params['EqualDense_0']['kernel']
+    b0 = osg_params['EqualDense_0']['bias']
+    k1 = osg_params['EqualDense_1']['kernel']
+    b1 = osg_params['EqualDense_1']['bias']
+    return FusedOSG(
+        w1=k0 * (lr_multiplier / math.sqrt(k0.shape[0])),
+        b1=b0 * lr_multiplier,
+        w2=k1 * (lr_multiplier / math.sqrt(k1.shape[0])),
+        b2=b1 * lr_multiplier,
+        activation=activation, interpret=interpret)

@@ -125,6 +125,40 @@ def pack_corner_table(plane_features: jax.Array) -> jax.Array:
     return packed.reshape(B * n_planes * (H + 1) * (W + 1), 4 * C)
 
 
+def packed_gather(packed: jax.Array, proj: jax.Array, H: int, W: int):
+    """Gather corner rows + bilinear fractions (no lerp).
+
+    Args:
+      packed: from :func:`pack_corner_table`.
+      proj: ``(B, 3, M, 2)`` per-plane xy coords in [-1, 1].
+    Returns:
+      rows ``(B, 3, M, 4C)``, tx, ty, live each ``(B, 3, M)``.
+    """
+    B, n_planes, M, _ = proj.shape
+    C = packed.shape[-1] // 4
+    Hp, Wp = H + 1, W + 1
+
+    x = (proj[..., 0] + 1.0) * (W * 0.5) - 0.5   # (B, 3, M)
+    y = (proj[..., 1] + 1.0) * (H * 0.5) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    # packed row (y0+1, x0+1) ↔ corners at (y0, x0); rows outside the
+    # padded table only occur for |coord| far outside [-1,1] — clamp them
+    # onto the zero ring so they contribute 0.
+    xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, Wp - 1)
+    yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, Hp - 1)
+    far = (x0 < -1) | (x0 > W - 1) | (y0 < -1) | (y0 > H - 1)
+    live = 1.0 - far.astype(packed.dtype)
+
+    base = (jnp.arange(B * n_planes, dtype=jnp.int32)
+            .reshape(B, n_planes, 1) * (Hp * Wp))
+    idx = base + yi * Wp + xi
+    rows = jnp.take(packed, idx.reshape(-1), axis=0)
+    return rows.reshape(B, n_planes, M, 4 * C), tx, ty, live
+
+
 def sample_packed_planes(packed: jax.Array, proj: jax.Array, H: int,
                          W: int) -> jax.Array:
     """Bilinear lookup from a corner-packed table.
@@ -135,33 +169,13 @@ def sample_packed_planes(packed: jax.Array, proj: jax.Array, H: int,
     Returns:
       ``(B, 3, M, C)``.
     """
-    B, n_planes, M, _ = proj.shape
     C = packed.shape[-1] // 4
-    Hp, Wp = H + 1, W + 1
-
-    x = (proj[..., 0] + 1.0) * (W * 0.5) - 0.5   # (B, 3, M)
-    y = (proj[..., 1] + 1.0) * (H * 0.5) - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = (x - x0)[..., None]
-    ty = (y - y0)[..., None]
-    # packed row (y0+1, x0+1) ↔ corners at (y0, x0); rows outside the
-    # padded table only occur for |coord| far outside [-1,1] — clamp them
-    # onto the zero ring so they contribute 0.
-    xi = jnp.clip(x0.astype(jnp.int32) + 1, 0, Wp - 1)
-    yi = jnp.clip(y0.astype(jnp.int32) + 1, 0, Hp - 1)
-    far = (x0 < -1) | (x0 > W - 1) | (y0 < -1) | (y0 > H - 1)
-
-    base = (jnp.arange(B * n_planes, dtype=jnp.int32)
-            .reshape(B, n_planes, 1) * (Hp * Wp))
-    idx = base + yi * Wp + xi
-    rows = jnp.take(packed, idx.reshape(-1), axis=0)
-    rows = rows.reshape(B, n_planes, M, 4 * C)
+    rows, tx, ty, live = packed_gather(packed, proj, H, W)
+    tx, ty, live = tx[..., None], ty[..., None], live[..., None]
 
     # 4 explicit FMAs instead of an einsum over a (..., 4, C) view — the
     # einsum forces a separate materialization of the gathered rows and
     # costs ~1.8x more wall time on TPU.
-    live = 1.0 - far.astype(rows.dtype)[..., None]
     w00 = (1 - tx) * (1 - ty) * live
     w01 = tx * (1 - ty) * live
     w10 = (1 - tx) * ty * live
@@ -320,7 +334,14 @@ def merge_and_march(depths1, colors1, densities1, depths2, colors2,
     comes back through the inverse permutation, and the composite is one
     unsorted contraction Σ_j u_j·c_j — exactly equal to sorting colors and
     midpoint-compositing (verified to 2e-7), at ~half the cost of the
-    full-payload sort."""
+    full-payload sort.
+
+    TPU note on the inverse permutation: it is applied by a SECOND
+    ``lax.sort`` keyed by the forward permutation indices (sorting
+    (idx_s, u_sorted) by idx_s restores ray order), NOT by
+    ``argsort + take_along_axis`` — the gather behind take_along_axis is
+    descriptor-bound and costs ~48 ms at 192²×128 samples vs ~1 ms for
+    the extra sort network (54.5 → 6.4 ms total, bitwise identical)."""
     all_depths = jnp.concatenate([depths1, depths2], axis=-2)[..., 0]
     all_colors = jnp.concatenate([colors1, colors2], axis=-2)
     all_dens = jnp.concatenate([densities1, densities2], axis=-2)[..., 0]
@@ -344,8 +365,7 @@ def merge_and_march(depths1, colors1, densities1, depths2, colors2,
     w_pad = jnp.concatenate([jnp.zeros_like(w[..., :1]), w,
                              jnp.zeros_like(w[..., :1])], -1)
     u_sorted = (w_pad[..., :-1] + w_pad[..., 1:]) * 0.5   # (B, R, S)
-    inv = jnp.argsort(idx_s, axis=-1)
-    u = jnp.take_along_axis(u_sorted, inv, axis=-1)
+    _, u = jax.lax.sort((idx_s, u_sorted), dimension=2, num_keys=1)
 
     composite_rgb = jnp.einsum('brs,brsc->brc', u, all_colors)
     weight_total = jnp.sum(w, axis=-1, keepdims=True)
@@ -363,20 +383,31 @@ def merge_and_march(depths1, colors1, densities1, depths2, colors2,
 
 def run_decoder(planes: jax.Array, decoder: DecoderFn, coords: jax.Array,
                 dirs: jax.Array, opts: RenderOptions,
-                packed: Optional[jax.Array] = None):
+                packed: Optional[jax.Array] = None,
+                fused_osg=None):
     """Triplane lookup + point decoder, with optional bbox culling
     (reference ``run_model:324-352`` / ``_forward_pass:354-411``).
 
     Pass ``packed`` (from :func:`pack_corner_table`) to amortize the
     gather-table build across coarse/fine passes and video frames.
+    Pass ``fused_osg`` (:class:`~ln3diff_tpu.ops.fused_render.FusedOSG`)
+    to run lerp→plane-mean→MLP as one Pallas kernel instead of
+    ``decoder`` (inference paths; requires ``packed``).
     """
     if packed is not None:
         B, n_planes, H, W, C = planes.shape
         proj = project_onto_planes((2.0 / opts.box_warp) * coords)
-        feats = sample_packed_planes(packed, proj, H, W)
+        if fused_osg is not None:
+            rows, tx, ty, live = packed_gather(packed, proj, H, W)
+            rgb, sigma = fused_osg(rows, tx, ty, live)
+            feats = None
+        else:
+            feats = sample_packed_planes(packed, proj, H, W)
     else:
+        assert fused_osg is None, 'fused_osg requires a packed table'
         feats = sample_from_planes(planes, coords, opts.box_warp)
-    rgb, sigma = decoder(feats, dirs)
+    if feats is not None:
+        rgb, sigma = decoder(feats, dirs)
     if opts.filter_out_of_bbox:
         inbox = jnp.all((coords >= opts.sampler_bbox_min)
                         & (coords <= opts.sampler_bbox_max), axis=-1)
@@ -390,13 +421,14 @@ def run_decoder(planes: jax.Array, decoder: DecoderFn, coords: jax.Array,
 
 def render_rays(key: jax.Array | None, planes: jax.Array, decoder: DecoderFn,
                 ray_origins: jax.Array, ray_directions: jax.Array,
-                opts: RenderOptions) -> RenderOutput:
+                opts: RenderOptions, fused_osg=None) -> RenderOutput:
     """Full two-pass render (reference ``ImportanceRenderer.forward``).
 
     Args:
       key: PRNG key (None → deterministic midpoints / linspaced PDF draws).
       planes: ``(B, 3, H, W, C)``.
       ray_origins, ray_directions: ``(B, R, 3)``.
+      fused_osg: optional fused Pallas point pipeline (inference).
     """
     B, R, _ = ray_origins.shape
     det = opts.deterministic or key is None
@@ -431,7 +463,7 @@ def render_rays(key: jax.Array | None, planes: jax.Array, decoder: DecoderFn,
         dirs = jnp.broadcast_to(ray_directions[:, :, None, :],
                                 (B, R, n_samples, 3)).reshape(B, -1, 3)
         rgb, sigma = run_decoder(planes, decoder, coords, dirs, opts,
-                                 packed=packed)
+                                 packed=packed, fused_osg=fused_osg)
         return (rgb.reshape(B, R, n_samples, -1),
                 sigma.reshape(B, R, n_samples, 1))
 
