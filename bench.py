@@ -66,9 +66,9 @@ def main():
         lambda p, l: vae.apply(p, l, method=vae.decode_latent), vae_vars,
         lambda p, planes, cam: vae.apply(
             p, planes, cam, render_opts, render_resolution, None,
-            method=vae.render)['image_raw'],
+            use_fused_osg=True, method=vae.render)['image_raw'],
         lambda p, planes, coords: vae.apply(
-            p, planes, coords, render_opts.box_warp,
+            p, planes, coords, render_opts.box_warp, use_fused_osg=True,
             method=vae.query_points),
         sampler=SamplerSpec(kind='ddim', num_steps=250, cfg_scale=6.5),
         diffusion=make_diffusion(steps=1000, timestep_respacing='ddim250'))

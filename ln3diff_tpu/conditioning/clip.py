@@ -154,33 +154,135 @@ class CLIPVisionModel(nn.Module):
         return {'tokens': x, 'pooler_output': pooled}
 
 
-# -- minimal BPE tokenizer -------------------------------------------------
+# -- byte-level BPE tokenizer ----------------------------------------------
+
+def bytes_to_unicode() -> dict:
+    """GPT-2/CLIP reversible byte→unicode map: printable byte ranges map
+    to themselves, the rest shift into 256+ codepoints so every byte has
+    a visible, space-free character."""
+    bs = (list(range(ord('!'), ord('~') + 1))
+          + list(range(ord('¡'), ord('¬') + 1))
+          + list(range(ord('®'), ord('ÿ') + 1)))
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+_WORD_RE = None
+
+
+def _word_pattern():
+    """CLIP's pre-tokenization split: specials, contractions, letter runs,
+    digit runs, other-symbol runs."""
+    global _WORD_RE
+    if _WORD_RE is None:
+        import regex as _re_mod  # stdlib-compatible fallback below
+        _WORD_RE = _re_mod.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+            r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+", _re_mod.IGNORECASE)
+    return _WORD_RE
+
+
+def _split_words(text: str) -> list[str]:
+    try:
+        return _word_pattern().findall(text)
+    except ImportError:
+        # `regex` unavailable: ASCII-only approximation of the pattern.
+        import re
+        return re.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+            re.IGNORECASE).findall(text)
+
 
 class SimpleCLIPTokenizer:
-    """CLIP BPE tokenizer.  Requires the vocab/merges files
-    (``bpe_simple_vocab_16e6.txt``); zero-egress environments without the
-    vocab fall back to a hash-bucket tokenizer that is deterministic but
-    NOT CLIP-compatible — fine for training-from-scratch and tests, wrong
-    for pretrained-checkpoint parity (swap in the real vocab for that).
+    """CLIP byte-level BPE tokenizer.
+
+    With ``bpe_path`` (the standard ``bpe_simple_vocab_16e6.txt[.gz]``
+    merges file) this is the full CLIP tokenizer: byte→unicode encoding,
+    lowercasing + whitespace cleanup, greedy lowest-rank pair merging
+    with the ``</w>`` end-of-word marker, vocab = 256 bytes + 256
+    byte-``</w>`` + one token per merge + 2 specials (49408 total,
+    ``<|startoftext|>``=49406, ``<|endoftext|>``=49407).
+
+    Zero-egress environments without the merges file fall back to a
+    deterministic hash-bucket tokenizer — fine for training-from-scratch
+    and tests, NOT CLIP-compatible (swap in the real vocab for
+    pretrained-checkpoint parity).
     """
 
     def __init__(self, bpe_path: Optional[str] = None,
-                 max_length: int = 77):
+                 max_length: int = 77, num_merges: int = 48894):
         self.max_length = max_length
         self.sot, self.eot = 49406, 49407
         self.bpe_path = bpe_path
         self._real = bpe_path is not None
         if self._real:
-            raise NotImplementedError(
-                'real BPE merges loading lands with checkpoint conversion')
+            self._load_merges(bpe_path, num_merges)
+
+    def _load_merges(self, path: str, num_merges: int):
+        import gzip
+        opener = gzip.open if path.endswith('.gz') else open
+        with opener(path, 'rt', encoding='utf-8') as f:
+            lines = f.read().split('\n')
+        # line 0 is a version header in the released file
+        merges = [tuple(line.split()) for line in
+                  lines[1:num_merges + 1] if line.strip()]
+        self.byte_encoder = bytes_to_unicode()
+        chars = list(self.byte_encoder.values())
+        vocab = chars + [c + '</w>' for c in chars]
+        vocab += [''.join(m) for m in merges]
+        vocab += ['<|startoftext|>', '<|endoftext|>']
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.ranks = {m: i for i, m in enumerate(merges)}
+        self.sot = self.encoder['<|startoftext|>']
+        self.eot = self.encoder['<|endoftext|>']
+        self._cache = {}
+
+    def _bpe(self, token: str) -> list[str]:
+        if token in self._cache:
+            return self._cache[token]
+        parts = list(token[:-1]) + [token[-1] + '</w>']
+        while len(parts) > 1:
+            pairs = [(parts[i], parts[i + 1]) for i in range(len(parts) - 1)]
+            best = min(pairs, key=lambda p: self.ranks.get(p, 1 << 30))
+            if best not in self.ranks:
+                break
+            merged, i = [], 0
+            while i < len(parts):
+                if (i < len(parts) - 1
+                        and (parts[i], parts[i + 1]) == best):
+                    merged.append(parts[i] + parts[i + 1])
+                    i += 2
+                else:
+                    merged.append(parts[i])
+                    i += 1
+            parts = merged
+        self._cache[token] = parts
+        return parts
+
+    def encode(self, text: str) -> list[int]:
+        """Token ids WITHOUT specials/padding."""
+        import html
+        text = html.unescape(html.unescape(text))
+        text = ' '.join(text.split()).strip().lower()
+        if not self._real:
+            return [hash(w) % 49000 + 320 for w in text.split()]
+        ids = []
+        for word in _split_words(text):
+            enc = ''.join(self.byte_encoder[b]
+                          for b in word.encode('utf-8'))
+            ids.extend(self.encoder[t] for t in self._bpe(enc))
+        return ids
 
     def __call__(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.max_length), np.int32)
         for i, t in enumerate(texts):
-            words = t.lower().strip().split()
-            ids = [self.sot]
-            for w in words[:self.max_length - 2]:
-                ids.append(hash(w) % 49000 + 320)  # skip byte tokens
-            ids.append(self.eot)
+            ids = ([self.sot] + self.encode(t)[:self.max_length - 2]
+                   + [self.eot])
             out[i, :len(ids)] = ids
         return out

@@ -142,7 +142,8 @@ class EvalResult:
     recall: float
 
     def __str__(self):
-        return (f'FID {self.fid:.3f} | sFID {self.sfid} | '
+        sfid = 'n/a' if self.sfid is None else f'{self.sfid:.3f}'
+        return (f'FID {self.fid:.3f} | sFID {sfid} | '
                 f'IS {self.inception_score:.3f} | '
                 f'P {self.precision:.3f} | R {self.recall:.3f}')
 
@@ -164,20 +165,25 @@ def make_clip_feature_fn(batch_size: int = 32) -> FeatureFn:
     @jax.jit
     def fwd(x):
         out = model.apply(params, x)
-        return out['pooler_output'], out['pooler_output'][:, :64]
+        # sFID analogue of Inception's mixed_6 spatial features: the first
+        # 2 channels of every non-CLS token, flattened (512-dim at 16²
+        # tokens) — sensitive to spatial layout where pooled FID is not.
+        spatial = out['tokens'][:, 1:, :2].reshape(x.shape[0], -1)
+        return out['pooler_output'], out['pooler_output'][:, :64], spatial
 
     def fn(images: np.ndarray):
-        import jax.image as jimg
-        feats, logits = [], []
+        feats, logits, spatials = [], [], []
         for i in range(0, len(images), batch_size):
             chunk = images[i:i + batch_size].astype(np.float32) / 127.5 - 1
             chunk = jax.image.resize(
                 jnp.asarray(chunk),
                 (chunk.shape[0], 224, 224, 3), 'bilinear')
-            f, l = fwd(chunk)
+            f, l, s = fwd(chunk)
             feats.append(np.asarray(f))
             logits.append(np.asarray(l))
-        return np.concatenate(feats), np.concatenate(logits)
+            spatials.append(np.asarray(s))
+        return (np.concatenate(feats), np.concatenate(logits),
+                np.concatenate(spatials))
 
     return fn
 
@@ -189,10 +195,15 @@ def evaluate_npz(ref_npz: str, sample_npz: str,
     feature_fn = feature_fn or make_clip_feature_fn()
     ref = np.load(ref_npz)['arr_0']
     smp = np.load(sample_npz)['arr_0']
-    f_ref, _ = feature_fn(ref)
-    f_smp, logits = feature_fn(smp)
+    out_ref = feature_fn(ref)
+    out_smp = feature_fn(smp)
+    f_ref, logits = out_ref[0], out_smp[1]
+    f_smp = out_smp[0]
     fid = compute_fid(f_ref, f_smp)
+    sfid = None
+    if len(out_ref) > 2:   # extractor provides spatial features
+        sfid = compute_fid(out_ref[2], out_smp[2])
     is_score = inception_score(logits)
     p, r = precision_recall(f_ref, f_smp)
-    return EvalResult(fid=fid, sfid=None, inception_score=is_score,
+    return EvalResult(fid=fid, sfid=sfid, inception_score=is_score,
                       precision=p, recall=r)

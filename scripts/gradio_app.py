@@ -61,9 +61,9 @@ def build_runner(args):
         lambda p, l: vae.apply(p, l, method=vae.decode_latent), vae_vars,
         lambda p, planes, cam: vae.apply(
             p, planes, cam, render_opts, args.render_resolution, None,
-            method=vae.render)['image_raw'],
+            use_fused_osg=True, method=vae.render)['image_raw'],
         lambda p, planes, coords: vae.apply(
-            p, planes, coords, render_opts.box_warp,
+            p, planes, coords, render_opts.box_warp, use_fused_osg=True,
             method=vae.query_points),
         sampler=SamplerSpec(kind='flow_matching',
                             num_steps=args.num_steps, cfg_scale=4.0))

@@ -112,12 +112,12 @@ def main():
 
     def render_fn(params, planes, cam25):
         return vae.apply(params, planes, cam25, render_opts,
-                         args.render_resolution, None,
+                         args.render_resolution, None, use_fused_osg=True,
                          method=vae.render)['image_raw']
 
     def point_decoder_fn(params, planes, coords):
         return vae.apply(params, planes, coords, render_opts.box_warp,
-                         method=vae.query_points)
+                         use_fused_osg=True, method=vae.query_points)
 
     pipeline = TextTo3DPipeline(
         denoiser_fn, den_vars, decode_fn, vae_vars, render_fn,

@@ -1,0 +1,86 @@
+"""CLIP byte-level BPE tokenizer algorithm tests.
+
+The real 49k merges file is unavailable offline, so the algorithm is
+validated against a tiny synthetic merges file with hand-computed
+expected merges (the merge procedure, vocab layout and special-token
+placement are file-size-independent).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+from ln3diff_tpu.conditioning.clip import (SimpleCLIPTokenizer,
+                                           bytes_to_unicode)
+
+
+def _write_merges(tmp_path, merges):
+    p = tmp_path / 'merges.txt'
+    p.write_text('#version: test\n' + '\n'.join(merges) + '\n')
+    return str(p)
+
+
+class TestBytesToUnicode:
+
+    def test_reversible_and_complete(self):
+        m = bytes_to_unicode()
+        assert len(m) == 256
+        assert len(set(m.values())) == 256
+        assert m[ord('a')] == 'a'          # printables map to themselves
+        assert ord(m[0]) >= 256            # control bytes shift up
+
+
+class TestCLIPBPE:
+
+    MERGES = ['h e', 'he l', 'hel l', 'hell o</w>']
+
+    def test_vocab_layout(self, tmp_path):
+        tok = SimpleCLIPTokenizer(_write_merges(tmp_path, self.MERGES),
+                                  num_merges=4)
+        # 256 bytes + 256 byte</w> + 4 merges + 2 specials
+        assert len(tok.encoder) == 518
+        assert tok.sot == 516 and tok.eot == 517
+        assert tok.encoder['hello</w>'] == 515
+
+    def test_full_merge_chain(self, tmp_path):
+        tok = SimpleCLIPTokenizer(_write_merges(tmp_path, self.MERGES),
+                                  num_merges=4)
+        assert tok.encode('hello') == [515]
+        # padding layout: sot, token, eot, zeros
+        arr = tok(['Hello'])               # case-folded
+        assert arr.shape == (1, 77)
+        np.testing.assert_array_equal(arr[0, :4], [516, 515, 517, 0])
+
+    def test_partial_merge_stops_at_unknown_pair(self, tmp_path):
+        tok = SimpleCLIPTokenizer(_write_merges(tmp_path, self.MERGES),
+                                  num_merges=4)
+        # 'hell' → h e l l</w> → he l l</w> → hel l</w>; (hel, l</w>) is
+        # NOT a merge ('hel l' pairs with plain l) → stays split.
+        ids = tok.encode('hell')
+        lw = tok.encoder['l</w>']
+        assert ids == [tok.encoder['hel'], lw]
+
+    def test_rank_priority(self, tmp_path):
+        # lower-rank merge must win even when a later pair also matches
+        tok = SimpleCLIPTokenizer(
+            _write_merges(tmp_path, ['l o</w>', 'h e']), num_merges=2)
+        ids = tok.encode('helo')
+        # 'lo</w>' (rank 0) merges before 'he' (rank 1); final: he, lo</w>
+        assert ids == [tok.encoder['he'], tok.encoder['lo</w>']]
+
+    def test_word_split_and_bytes(self, tmp_path):
+        tok = SimpleCLIPTokenizer(_write_merges(tmp_path, self.MERGES),
+                                  num_merges=4)
+        # punctuation splits off; unknown words fall back to byte tokens
+        ids = tok.encode('hello!')
+        assert ids[0] == 515
+        assert ids[1] == tok.encoder['!</w>']
+
+    def test_fallback_without_vocab(self):
+        tok = SimpleCLIPTokenizer()
+        arr = tok(['a chair', 'a chair'])
+        np.testing.assert_array_equal(arr[0], arr[1])
+        assert arr[0, 0] == 49406 and 49407 in arr[0]
