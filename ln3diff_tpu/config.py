@@ -97,6 +97,22 @@ def vae_preset(name: str = 'objaverse', dtype=jnp.bfloat16
             conv_sr_ch=32, conv_sr_ch_mult=(1, 2, 2, 4),
             conv_sr_res_blocks=1, plane_channels=32,
             decoder_output_dim=32, use_sr=True, sr_ratio=2, dtype=dtype)
+    if name == 'ffhq':
+        # FFHQ 3D-aware faces (BASELINE config[2]): single-view RGB in,
+        # fg/bg channel-split planes + NeRF++ background (reference
+        # ``Triplane_fg_bg_plane``), StyleGAN-modulated 4x SR head
+        # (``SuperresolutionHybrid8XDC`` → render 64² → 256²).
+        dit2 = dit2_registry('DiT2-B/2', tokens_per_plane=256, dtype=dtype)
+        return TriplaneVAEConfig(
+            encoder_in_channels=3, encoder_ch=64,
+            encoder_ch_mult=(1, 2, 4, 4), encoder_res_blocks=1,
+            img_resolution=256, num_views=0, ldm_z_channels=4,
+            latent_size=32, dit2=dit2, patch_size=2,
+            conv_sr_ch=32, conv_sr_ch_mult=(1, 2, 2, 4),
+            conv_sr_res_blocks=1, plane_channels=64,   # 32 fg | 32 bg
+            decoder_output_dim=32, use_sr=True, sr_ratio=4,
+            sr_module='stylegan', use_background=True,
+            bg_depth_resolution=16, dtype=dtype)
     raise KeyError(name)
 
 

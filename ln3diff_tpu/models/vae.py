@@ -67,9 +67,16 @@ class TriplaneVAEConfig:
     # point decoder
     decoder_output_dim: int = 32
     lrm_decoder: bool = False
-    # render-space SR
+    # render-space SR: 'nearest' (objaverse/shapenet NearestConvSR) or
+    # 'stylegan' (FFHQ SuperresolutionHybrid, w-modulated convs)
     use_sr: bool = False
     sr_ratio: int = 2
+    sr_module: str = 'nearest'
+    # NeRF++ background (FFHQ/car fg/bg configs): planes channel-split
+    # fg | bg, inverted-sphere bg samples composited by residual
+    # transmittance (reference ``Triplane_fg_bg_plane``).
+    use_background: bool = False
+    bg_depth_resolution: int = 16
     dtype: Any = jnp.float32
 
     @property
@@ -127,10 +134,24 @@ class TriplaneVAE(nn.Module):
         else:
             self.osg_decoder = OSGDecoder(
                 decoder_output_dim=cfg.decoder_output_dim)
+        if cfg.use_background:
+            self.bg_decoder = OSGDecoder(
+                decoder_output_dim=cfg.decoder_output_dim,
+                name='bg_decoder')
 
         if cfg.use_sr:
-            self.superresolution = NearestConvSR(sr_ratio=cfg.sr_ratio,
-                                                 dtype=cfg.dtype)
+            if cfg.sr_module == 'stylegan':
+                from .stylegan import SuperresolutionHybrid
+                self.superresolution = SuperresolutionHybrid(
+                    sr_ratio=cfg.sr_ratio)
+                # The VAE has no StyleGAN mapping network — the modulation
+                # style is a learned constant (the reference conditions SR
+                # on the generator's w; in the AE it is effectively fixed).
+                self.sr_ws = self.param(
+                    'sr_ws', nn.initializers.normal(0.02), (512,))
+            else:
+                self.superresolution = NearestConvSR(sr_ratio=cfg.sr_ratio,
+                                                     dtype=cfg.dtype)
 
     # -- encoder ----------------------------------------------------------
 
@@ -215,11 +236,21 @@ class TriplaneVAE(nn.Module):
             cam2world, intrinsics = unpack_25d_camera(camera25)
             ray_origins, ray_directions = sample_full_rays(
                 cam2world, intrinsics, resolution)
-        out = render_rays(key, planes,
-                          lambda f, d: self.osg_decoder(f, d),
-                          ray_origins, ray_directions, render_opts,
-                          fused_osg=self._fused_osg() if use_fused_osg
-                          else None)
+        if self.cfg.use_background:
+            assert not use_fused_osg, \
+                'fused OSG kernel not wired for the fg/bg split yet'
+            from ..render.background import render_rays_fg_bg
+            out = render_rays_fg_bg(
+                key, planes, lambda f, d: self.osg_decoder(f, d),
+                lambda f, d: self.bg_decoder(f, d),
+                ray_origins, ray_directions, render_opts,
+                bg_depth_resolution=self.cfg.bg_depth_resolution)
+        else:
+            out = render_rays(key, planes,
+                              lambda f, d: self.osg_decoder(f, d),
+                              ray_origins, ray_directions, render_opts,
+                              fused_osg=self._fused_osg() if use_fused_osg
+                              else None)
         B, R = ray_origins.shape[:2]
         res_h = res_w = int(R**0.5) if ray_origins is not None else resolution
         feature_image = out.feature_samples.reshape(B, res_h, res_w, -1)
@@ -230,7 +261,12 @@ class TriplaneVAE(nn.Module):
         ret = dict(feature_image=feature_image, image_raw=rgb,
                    image_depth=depth_image, image_mask=mask_image)
         if self.cfg.use_sr and apply_sr:
-            ret['image_sr'] = self.superresolution(feature_image)
+            if self.cfg.sr_module == 'stylegan':
+                ws = jnp.broadcast_to(self.sr_ws, (B,) + self.sr_ws.shape)
+                ret['image_sr'] = self.superresolution(feature_image, rgb,
+                                                       ws)
+            else:
+                ret['image_sr'] = self.superresolution(feature_image)
         return ret
 
     # -- convenience end-to-end -------------------------------------------
@@ -276,6 +312,8 @@ class TriplaneVAE(nn.Module):
         from ..render.renderer import (pack_corner_table, packed_gather,
                                        project_onto_planes,
                                        sample_from_planes)
+        if self.cfg.use_background:   # mesh queries use the fg half
+            planes = planes[..., :planes.shape[-1] // 2]
         if use_fused_osg:
             B, n_planes, H, W, C = planes.shape
             packed = pack_corner_table(planes)
