@@ -129,3 +129,134 @@ def make_joint_loss_fn(vae_model, denoiser_model, render_opts: RenderOptions,
         return total, metrics
 
     return loss_fn
+
+
+@dataclasses.dataclass
+class LSGMTrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    grad_clip: float = 0.5
+    ema_rate: float = 0.9999
+    patch_resolution: int = 32
+    render_resolution: int = 128
+    microbatch_steps: int = 1
+    log_interval: int = 10
+    total_steps: int = 100000
+
+
+class LSGMTrainer:
+    """Joint VAE+denoiser loop (reference
+    ``TrainLoop3DDiffusionLSGMJointnoD.run_loop`` — the ShapeNet/FFHQ
+    stage-2 trainer).  One pjit step over both param trees; batches are
+    VAE patch-ray batches (the denoiser trains on the live latents, not
+    pre-extracted dumps)."""
+
+    def __init__(self, vae_cfg, denoiser_model,
+                 train_cfg: LSGMTrainConfig = LSGMTrainConfig(),
+                 loss_cfg: LossConfig = LossConfig(),
+                 lsgm_cfg: LSGMConfig = LSGMConfig(),
+                 render_opts: Optional[RenderOptions] = None,
+                 mesh=None, seed: int = 0, sde: Optional[VPSDE] = None):
+        import numpy as np
+
+        from ..models.vae import TriplaneVAE
+        from ..parallel.mesh import MeshConfig, make_mesh
+
+        self.vae = TriplaneVAE(vae_cfg)
+        self.vae_cfg = vae_cfg
+        self.denoiser = denoiser_model
+        self.cfg = train_cfg
+        self.loss_cfg = loss_cfg
+        self.lsgm_cfg = lsgm_cfg
+        self.sde = sde or VPSDE()
+        self.render_opts = render_opts or RenderOptions(
+            depth_resolution=48, depth_resolution_importance=48,
+            ray_start='auto', ray_end='auto', box_warp=0.9,
+            filter_out_of_bbox=True)
+        self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
+        self.rng = np.random.default_rng(seed)
+        self._init_key = jax.random.PRNGKey(seed)
+        self._state = None
+        self._step_fn = None
+
+    def init_state(self, example_batch):
+        from .train_state import create_train_state, make_optimizer
+
+        imgs = jnp.asarray(example_batch['img_to_encoder'])
+        cams = jnp.asarray(example_batch['c'])
+        vae_vars = self.vae.init(
+            self._init_key, imgs, cams,
+            dataclasses.replace(self.render_opts, depth_resolution=8,
+                                depth_resolution_importance=8),
+            8, jax.random.PRNGKey(0))
+        vae_params = vae_vars.pop('params')
+        lat = jnp.zeros((1, self.vae_cfg.latent_size,
+                         self.vae_cfg.latent_size,
+                         self.vae_cfg.latent_channels))
+        ctx = example_batch.get('context')
+        ddpm_vars = self.denoiser.init(jax.random.PRNGKey(1), lat,
+                                       jnp.zeros((1,)), ctx)
+        ddpm_params = ddpm_vars.pop('params')
+        tx = make_optimizer(self.cfg.lr, self.cfg.weight_decay,
+                            grad_clip=self.cfg.grad_clip)
+        self._state = create_train_state(
+            {'vae': vae_params, 'ddpm': ddpm_params}, tx,
+            ema_rates=(('ema', self.cfg.ema_rate),),
+            constants={'vae': vae_vars or None,
+                       'ddpm': ddpm_vars or None})
+        return self._state
+
+    def build(self, example_batch):
+        from .train_state import build_train_step
+
+        if self._state is None:
+            self.init_state(example_batch)
+        loss_fn = make_joint_loss_fn(
+            self.vae, self.denoiser, self.render_opts, self.loss_cfg,
+            self.lsgm_cfg, self.cfg.patch_resolution,
+            self.cfg.render_resolution, self.sde)
+        self._step_fn = build_train_step(
+            loss_fn, self.mesh, ema_rates=(('ema', self.cfg.ema_rate),),
+            microbatch_steps=self.cfg.microbatch_steps)
+        return self
+
+    def prepare_batch(self, raw: dict) -> dict:
+        import numpy as np
+
+        from ..render.ray_sampler import sample_patch_origins
+
+        cfg = self.cfg
+        n = raw['c'].shape[0]
+        bbox = raw.get('bbox')
+        if bbox is not None:
+            scale = cfg.render_resolution / self.vae_cfg.img_resolution
+            bbox = (np.asarray(bbox) * scale).astype('int32')
+        h0, w0 = sample_patch_origins(self.rng, n, cfg.patch_resolution,
+                                      cfg.render_resolution, bbox)
+        out = {k: jnp.asarray(v) for k, v in raw.items()
+               if k in ('img_to_encoder', 'img', 'depth', 'depth_mask',
+                        'c', 'context')}
+        out['patch_h'] = jnp.asarray(h0)
+        out['patch_w'] = jnp.asarray(w0)
+        return out
+
+    def run_loop(self, data, num_steps: Optional[int] = None,
+                 step_offset: int = 0):
+        from ..utils import logger
+
+        assert self._step_fn is not None, 'call build() first'
+        num_steps = num_steps or self.cfg.total_steps
+        state = self._state
+        for i in range(num_steps):
+            batch = self.prepare_batch(next(data))
+            state, metrics = self._step_fn(
+                state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(1234),
+                                   step_offset + i))
+            if (i + 1) % self.cfg.log_interval == 0:
+                logger.log_loss_dict(
+                    {k: float(v) for k, v in metrics.items()})
+                logger.logkv('step', step_offset + i + 1)
+                logger.dumpkvs()
+        self._state = state
+        return state

@@ -2,10 +2,12 @@
 
 Mirrors reference ``scripts/vit_triplane_diffusion_train.py`` /
 ``vit_triplane_sit_train.py``: trains a denoiser on pre-extracted VAE
-latents with a conditioner; the objective ({flow_matching, ddpm, edm})
-replaces the reference's trainer-name map ({flow_matching, adm,
-sgm_legacy, vpsde_*}).  Without a latent directory it falls back to
-random latents (pipeline smoke mode).
+latents with a conditioner; the objective ({flow_matching, ddpm, edm,
+vpsde_joint}) replaces the reference's trainer-name map ({flow_matching,
+adm, sgm_legacy, vpsde_*}).  ``vpsde_joint`` is the LSGM joint path
+(ShapeNet/FFHQ): VAE + U-Net denoiser trained together on image batches
+(reference ``TrainLoop3DDiffusionLSGMJointnoD``).  Without a latent
+directory it falls back to random latents (pipeline smoke mode).
 """
 
 from __future__ import annotations
@@ -40,6 +42,53 @@ def latent_stream(latent_dir: str, batch: int, shape, context_dim: int,
         }
 
 
+def run_lsgm_joint(cfg, args):
+    """LSGM joint VAE+U-Net training (reference trainer names
+    ``vpsde_lsgm_joint_noD`` / ``vpsde_crossattn``)."""
+    import dataclasses as _dc
+
+    from ln3diff_tpu.data.synthetic import load_memory_data
+    from ln3diff_tpu.models.unet import UNetConfig, UNetModel
+    from ln3diff_tpu.training.checkpoint import CheckpointManager
+    from ln3diff_tpu.training.lsgm_trainer import (LSGMTrainConfig,
+                                                   LSGMTrainer)
+    from ln3diff_tpu.utils import logger
+
+    vae_cfg = cfg.vae_config()
+    num_views = max(vae_cfg.num_views, 1)
+    denoiser = UNetModel(UNetConfig(
+        in_channels=vae_cfg.ldm_z_channels,
+        out_channels=vae_cfg.ldm_z_channels,
+        model_channels=int(getattr(args, 'unet_channels', 320))))
+    train_cfg = LSGMTrainConfig(
+        lr=cfg.lr, patch_resolution=cfg.patch_rendering_resolution,
+        microbatch_steps=cfg.microbatch_steps,
+        log_interval=cfg.log_interval, total_steps=cfg.total_steps)
+
+    data = load_memory_data(cfg.batch_size, num_views,
+                            vae_cfg.img_resolution,
+                            train_cfg.render_resolution, seed=cfg.seed)
+    trainer = LSGMTrainer(vae_cfg, denoiser, train_cfg,
+                          render_opts=cfg.render_opts(), seed=cfg.seed)
+    trainer.build(next(data))
+
+    ckpt = CheckpointManager(os.path.join(cfg.logdir, 'checkpoints'))
+    if cfg.resume_checkpoint:
+        restored = ckpt.restore(trainer._state)
+        if restored is not None:
+            trainer._state = restored
+            logger.log(f'resumed from step {int(restored.step)}')
+
+    step = int(trainer._state.step)
+    while step < cfg.total_steps:
+        n = min(cfg.save_interval, cfg.total_steps - step)
+        trainer.run_loop(data, num_steps=n, step_offset=step)
+        step += n
+        ckpt.save(step, trainer._state)
+        logger.log(f'saved checkpoint @ {step}')
+    ckpt.close()
+
+
 def main():
     from ln3diff_tpu.config import (ExperimentConfig, add_config_to_argparser,
                                     args_to_config, denoiser_preset)
@@ -51,6 +100,8 @@ def main():
                         help='override denoiser input size (latent h=w)')
     parser.add_argument('--denoiser_scale', default='',
                         help="override preset, e.g. 'DiT-B/2'")
+    parser.add_argument('--unet_channels', type=int, default=320,
+                        help='U-Net width for --objective vpsde_joint')
     args = parser.parse_args()
     cfg = args_to_config(args)
 
@@ -70,6 +121,9 @@ def main():
     logger.configure(cfg.logdir)
     with open(os.path.join(cfg.logdir, 'args.json'), 'w') as f:
         f.write(cfg.to_json())
+
+    if cfg.objective == 'vpsde_joint':
+        return run_lsgm_joint(cfg, args)
 
     import dataclasses as _dc
     den_cfg = denoiser_preset(cfg.denoiser)
