@@ -97,6 +97,13 @@ class TextTo3DPipeline:
         elif spec.kind == 'ddim':
             assert self.diffusion is not None
             x = self.diffusion.ddim_sample_loop(cfg_fn, shape, key)
+        elif spec.kind == 'dpm':
+            # DPM-Solver++(2M): spec.num_steps solver steps over the FULL
+            # (unspaced) schedule — pass a diffusion WITHOUT respacing.
+            from .diffusion.dpm_solver import dpm_solver_sample_loop
+            assert self.diffusion is not None
+            x = dpm_solver_sample_loop(self.diffusion, cfg_fn, shape, key,
+                                       num_steps=spec.num_steps)
         else:
             raise NotImplementedError(spec.kind)
         return x * spec.triplane_scaling_divider

@@ -31,7 +31,9 @@ def main():
     parser.add_argument('--denoiser', default='t23d-dit-l2')
     parser.add_argument('--vae', default='objaverse-s')
     parser.add_argument('--objective', default='ddim',
-                        choices=['ddim', 'flow_matching'])
+                        choices=['ddim', 'flow_matching', 'dpm'],
+                        help="dpm = DPM-Solver++(2M): ~25 steps match "
+                             "250-step ddim")
     parser.add_argument('--num_steps', type=int, default=250)
     parser.add_argument('--unconditional_guidance_scale', type=float,
                         default=6.5)
@@ -123,12 +125,15 @@ def main():
         denoiser_fn, den_vars, decode_fn, vae_vars, render_fn,
         point_decoder_fn,
         sampler=SamplerSpec(
-            kind='flow_matching' if args.objective == 'flow_matching'
-            else 'ddim',
+            kind=args.objective if args.objective != 'flow_matching'
+            else 'flow_matching',
             num_steps=args.num_steps,
             cfg_scale=args.unconditional_guidance_scale),
-        diffusion=make_diffusion(steps=1000,
-                                 timestep_respacing=f'ddim{args.num_steps}'))
+        diffusion=make_diffusion(
+            steps=1000,
+            # dpm runs its own solver grid over the full schedule
+            timestep_respacing=None if args.objective == 'dpm'
+            else f'ddim{args.num_steps}'))
 
     # -- per-prompt loop ---------------------------------------------------
     encode_text_raw = jax.jit(

@@ -130,3 +130,25 @@ class TestTextTo3DPipeline:
                                       {'crossattn': jnp.zeros((1, 7, 16))})
         assert lat.shape == (2, 8, 8, 12)
         assert np.isfinite(np.asarray(lat)).all()
+
+    def test_dpm_kind(self):
+        """DPM-Solver++ sampler path through the pipeline (no render)."""
+        den_cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                            hidden_size=32, depth=2, num_heads=2,
+                            variant='text', context_dim=16,
+                            dtype=jnp.float32)
+        denoiser = DiT_TriLatent(den_cfg)
+        den_vars = denoiser.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 8, 8, 12)), jnp.zeros((2,)),
+                                 {'crossattn': jnp.zeros((2, 7, 16))})
+        pipeline = TextTo3DPipeline(
+            lambda p, x, t, c: denoiser.apply(p, x, t, c), den_vars,
+            None, None, None, None,
+            sampler=SamplerSpec(kind='dpm', num_steps=5,
+                                cfg_scale=1.5, latent_shape=(8, 8, 12)),
+            diffusion=make_diffusion(steps=100))  # no respacing for dpm
+        lat = pipeline.sample_latents(jax.random.PRNGKey(1), 2,
+                                      {'crossattn': jnp.ones((1, 7, 16))},
+                                      {'crossattn': jnp.zeros((1, 7, 16))})
+        assert lat.shape == (2, 8, 8, 12)
+        assert np.isfinite(np.asarray(lat)).all()
