@@ -131,6 +131,37 @@ def iter_shard(path: str) -> Iterator[dict]:
             yield sample
 
 
+def iter_shards_native(paths: Sequence[str], loop: bool = False
+                       ) -> Iterator[dict]:
+    """Yield grouped samples across shards via the native threaded tar
+    reader (``native/shard_loader.cpp`` — the DataLoader-worker analogue);
+    falls back to the Python ``tarfile`` path if the toolchain is absent.
+    """
+    try:
+        from ..native.build import NativeShardReader
+        reader = NativeShardReader(list(paths), loop=loop)
+    except Exception:                      # no g++ / build failure
+        while True:
+            for p in paths:
+                yield from iter_shard(p)
+            if not loop:
+                return
+
+    current_key = None
+    sample: dict = {}
+    for name, data in reader:
+        base = os.path.basename(name)
+        key, _, field = base.partition('.')
+        if current_key is not None and key != current_key and sample:
+            yield sample
+            sample = {}
+        current_key = key
+        sample[field] = decode_field(field, data)
+        sample['__key__'] = key
+    if sample:
+        yield sample
+
+
 def resampled_shards(paths: Sequence[str], rng: np.random.Generator
                      ) -> Iterator[str]:
     """Infinite random shard sampling (reference ResampledShards)."""

@@ -44,6 +44,62 @@ def build_and_load(source_path: str, extra_flags: tuple[str, ...] = ()):
         return lib
 
 
+def get_shard_loader():
+    """Threaded tar-shard reader (``shard_loader.cpp``)."""
+    src = os.path.join(os.path.dirname(__file__), 'shard_loader.cpp')
+    lib = build_and_load(src, extra_flags=('-pthread',))
+    lib.ln_loader_create.restype = ctypes.c_void_p
+    lib.ln_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int]
+    lib.ln_loader_next_size.restype = ctypes.c_int64
+    lib.ln_loader_next_size.argtypes = [ctypes.c_void_p]
+    lib.ln_loader_next_copy.restype = None
+    lib.ln_loader_next_copy.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_char)]
+    lib.ln_loader_destroy.restype = None
+    lib.ln_loader_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+class NativeShardReader:
+    """Iterate (name, bytes) tar entries with background prefetch."""
+
+    def __init__(self, paths, queue_cap: int = 256, loop: bool = False):
+        self._lib = get_shard_loader()
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths])
+        self._h = self._lib.ln_loader_create(arr, len(paths), queue_cap,
+                                             1 if loop else 0)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        size = self._lib.ln_loader_next_size(self._h)
+        if size < 0:
+            raise StopIteration
+        buf = ctypes.create_string_buffer(size)
+        self._lib.ln_loader_next_copy(self._h, buf)
+        raw = buf.raw
+        name_len = int.from_bytes(raw[:4], 'little')
+        name = raw[4:4 + name_len].decode()
+        data_len = int.from_bytes(raw[4 + name_len:12 + name_len], 'little')
+        data = raw[12 + name_len:12 + name_len + data_len]
+        return name, data
+
+    def close(self):
+        if self._h is not None:
+            self._lib.ln_loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def get_marching_tetrahedra():
     src = os.path.join(os.path.dirname(__file__), 'marching_cubes.cpp')
     lib = build_and_load(src)
