@@ -199,6 +199,32 @@ def vpsde_training_losses(sde: VPSDE, eps_fn: Callable, x0, key,
     return {'loss': loss, 'p_eps_objs': l2, 'iw': iw, 'x_t': x_t}
 
 
+def kl_per_group(kl_all: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-group KL statistics (reference
+    ``continuous_diffusion_utils.py:256`` ``kl_per_group_vada``):
+    kl_all (B, groups) → (per-group mean over batch, per-group coeffs
+    proportional to the mean magnitude)."""
+    mean = jnp.mean(jnp.abs(kl_all), axis=0)
+    return jnp.mean(kl_all, axis=0), mean
+
+
+def kl_balancer(kl_all: jax.Array, kl_coeff: float = 1.0,
+                balance: bool = False) -> jax.Array:
+    """NVAE-style KL balancing (reference
+    ``continuous_diffusion_utils.py:231``): when ``balance``, each
+    latent group's KL is reweighted ∝ its magnitude (stop-gradient) so
+    no group collapses; otherwise a plain coefficient.  LN3Diff has a
+    single latent group on the released paths, where this reduces to
+    ``kl_coeff·mean(kl)`` — kept for API parity with hierarchical
+    latents.  kl_all: (B, groups)."""
+    if not balance:
+        return kl_coeff * jnp.mean(jnp.sum(kl_all, axis=1))
+    _, alpha = kl_per_group(kl_all)
+    alpha = jax.lax.stop_gradient(
+        alpha * (alpha.shape[0] / (jnp.sum(alpha) + 1e-10)))
+    return kl_coeff * jnp.mean(jnp.sum(kl_all * alpha, axis=1))
+
+
 def vpsde_cross_entropy_per_dim(sde: VPSDE, eps_fn: Callable, x0, key,
                                 mixing_logit: Optional[jax.Array] = None):
     """q-objective (joint VAE training): likelihood-weighted CE term

@@ -131,3 +131,20 @@ class TestResampler:
         for i in range(4):
             est = w[t == i].sum() / len(t)
             np.testing.assert_allclose(est, 0.25, rtol=0.25)
+
+
+class TestKLBalancer:
+
+    def test_plain_and_balanced(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from ln3diff_tpu.diffusion.vpsde import kl_balancer, kl_per_group
+        kl = jnp.asarray([[1.0, 3.0], [1.0, 3.0]])
+        plain = float(kl_balancer(kl, kl_coeff=0.5))
+        assert abs(plain - 0.5 * 4.0) < 1e-6
+        balanced = float(kl_balancer(kl, balance=True))
+        # group coeffs sum to n_groups; heavier group upweighted
+        mean, alpha = kl_per_group(kl)
+        assert np.allclose(np.asarray(mean), [1.0, 3.0])
+        assert balanced > plain / 0.5 * 0.5  # finite, reweighted
+        assert np.isfinite(balanced)
