@@ -51,6 +51,11 @@ def main():
     ctx0 = {'crossattn': jnp.zeros((2, 77, 768))}
     den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0,
                                       jnp.zeros((2,)), ctx0)
+    # bf16 weight storage: the bf16-compute DiT casts f32 params per step
+    # anyway — storing bf16 halves the weight HBM read (15.0 → 10.1
+    # ms/step, bitwise identical).
+    from ln3diff_tpu.utils.misc import cast_floating
+    den_vars = cast_floating(den_vars, jnp.bfloat16)
     render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
     vae_vars = vae.init(
         jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 12)),

@@ -125,6 +125,89 @@ def convert_hf_clip_vision(state_dict: Mapping, num_layers: int = 24) -> dict:
     return params
 
 
+def convert_hf_dinov2(state_dict: Mapping, depth: int) -> dict:
+    """HF ``Dinov2Model.state_dict()`` → our scan-stacked
+    ``VisionTransformer`` params (DINOv2 flavor: layerscale + erf-gelu).
+
+    Our ViT scans one weight-stacked block (leaves carry a leading
+    ``depth`` axis), so per-layer HF tensors are stacked rather than
+    stored as ``layers_i`` subtrees.
+    """
+    import numpy as np
+
+    sd = state_dict
+    base = 'dinov2.' if any(k.startswith('dinov2.') for k in sd) else ''
+
+    def lin_qkv(i):
+        ap = f'{base}encoder.layer.{i}.attention.attention'
+        kq = _np(sd[f'{ap}.query.weight']).T
+        kk = _np(sd[f'{ap}.key.weight']).T
+        kv = _np(sd[f'{ap}.value.weight']).T
+        bq = _np(sd[f'{ap}.query.bias'])
+        bk = _np(sd[f'{ap}.key.bias'])
+        bv = _np(sd[f'{ap}.value.bias'])
+        return (np.concatenate([kq, kk, kv], axis=1),
+                np.concatenate([bq, bk, bv], axis=0))
+
+    def stack(fn):
+        outs = [fn(i) for i in range(depth)]
+        return np.stack(outs)
+
+    block = {
+        'norm1': {
+            'scale': stack(lambda i: _np(
+                sd[f'{base}encoder.layer.{i}.norm1.weight'])),
+            'bias': stack(lambda i: _np(
+                sd[f'{base}encoder.layer.{i}.norm1.bias']))},
+        'norm2': {
+            'scale': stack(lambda i: _np(
+                sd[f'{base}encoder.layer.{i}.norm2.weight'])),
+            'bias': stack(lambda i: _np(
+                sd[f'{base}encoder.layer.{i}.norm2.bias']))},
+        'gamma1': stack(lambda i: _np(
+            sd[f'{base}encoder.layer.{i}.layer_scale1.lambda1'])),
+        'gamma2': stack(lambda i: _np(
+            sd[f'{base}encoder.layer.{i}.layer_scale2.lambda1'])),
+        'attn': {
+            'qkv': {
+                'kernel': stack(lambda i: lin_qkv(i)[0]),
+                'bias': stack(lambda i: lin_qkv(i)[1])},
+            'proj': {
+                'kernel': stack(lambda i: _np(sd[
+                    f'{base}encoder.layer.{i}.attention.output.dense.weight'
+                ]).T),
+                'bias': stack(lambda i: _np(sd[
+                    f'{base}encoder.layer.{i}.attention.output.dense.bias'
+                ]))},
+        },
+        'mlp': {
+            'fc1': {
+                'kernel': stack(lambda i: _np(
+                    sd[f'{base}encoder.layer.{i}.mlp.fc1.weight']).T),
+                'bias': stack(lambda i: _np(
+                    sd[f'{base}encoder.layer.{i}.mlp.fc1.bias']))},
+            'fc2': {
+                'kernel': stack(lambda i: _np(
+                    sd[f'{base}encoder.layer.{i}.mlp.fc2.weight']).T),
+                'bias': stack(lambda i: _np(
+                    sd[f'{base}encoder.layer.{i}.mlp.fc2.bias']))},
+        },
+    }
+    return {
+        'patch_embed': {
+            'kernel': _np(sd[
+                f'{base}embeddings.patch_embeddings.projection.weight'
+            ]).transpose(2, 3, 1, 0),
+            'bias': _np(sd[
+                f'{base}embeddings.patch_embeddings.projection.bias'])},
+        'cls_token': _np(sd[f'{base}embeddings.cls_token']),
+        'pos_embed': _np(sd[f'{base}embeddings.position_embeddings']),
+        'blocks': {'block': block},
+        'norm': {'scale': _np(sd[f'{base}layernorm.weight']),
+                 'bias': _np(sd[f'{base}layernorm.bias'])},
+    }
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a ``.pt`` / ``.safetensors`` state_dict on CPU."""
     if path.endswith('.safetensors'):

@@ -130,12 +130,13 @@ class CrossAttention(nn.Module):
 class GeluMLP(nn.Module):
     hidden_mult: int = 4
     dtype: Any = jnp.float32
+    exact_gelu: bool = False     # DINOv2 uses erf-gelu; DiT uses tanh
 
     @nn.compact
     def __call__(self, x):
         D = x.shape[-1]
         x = nn.Dense(D * self.hidden_mult, dtype=self.dtype, name='fc1')(x)
-        x = nn.gelu(x, approximate=True)
+        x = nn.gelu(x, approximate=not self.exact_gelu)
         return nn.Dense(D, dtype=self.dtype, name='fc2')(x)
 
 

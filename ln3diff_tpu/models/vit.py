@@ -26,17 +26,30 @@ from .dit import Attention, GeluMLP, get_2d_sincos_pos_embed
 
 
 class ViTBlock(nn.Module):
-    """Pre-LN transformer block (DINO layout: norm1/attn/norm2/mlp)."""
+    """Pre-LN transformer block (DINO layout: norm1/attn/norm2/mlp).
+
+    ``layerscale`` adds DINOv2's per-channel residual gains (HF
+    ``Dinov2Layer.layer_scale1/2``); ``exact_gelu`` selects erf-gelu
+    (DINOv2) over tanh-gelu (DiT/DINOv1)."""
     num_heads: int
     mlp_ratio: int = 4
     dtype: Any = jnp.float32
+    layerscale: bool = False
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x):
+        D = x.shape[-1]
+        g1 = g2 = 1.0
+        if self.layerscale:
+            g1 = self.param('gamma1', nn.initializers.constant(1e-5), (D,))
+            g2 = self.param('gamma2', nn.initializers.constant(1e-5), (D,))
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
-        x = x + Attention(self.num_heads, dtype=self.dtype, name='attn')(h)
+        x = x + g1 * Attention(self.num_heads, dtype=self.dtype,
+                               name='attn')(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm2')(x)
-        return x + GeluMLP(self.mlp_ratio, dtype=self.dtype, name='mlp')(h)
+        return x + g2 * GeluMLP(self.mlp_ratio, dtype=self.dtype,
+                                exact_gelu=self.exact_gelu, name='mlp')(h)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +61,8 @@ class ViTConfig:
     num_heads: int = 6
     mlp_ratio: int = 4
     use_cls_token: bool = True
+    layerscale: bool = False     # DINOv2
+    exact_gelu: bool = False     # DINOv2
     dtype: Any = jnp.float32
 
 
@@ -80,7 +95,10 @@ class VisionTransformer(nn.Module):
             @nn.compact
             def __call__(self, x, _):
                 return ViTBlock(cfg.num_heads, cfg.mlp_ratio,
-                                dtype=cfg.dtype, name='block')(x), None
+                                dtype=cfg.dtype,
+                                layerscale=cfg.layerscale,
+                                exact_gelu=cfg.exact_gelu,
+                                name='block')(x), None
 
         Blocks = nn.scan(_Body, variable_axes={'params': 0},
                          split_rngs={'params': True}, length=cfg.depth)
@@ -100,6 +118,13 @@ def vit_registry(name: str, **overrides) -> ViTConfig:
                          num_heads=12),
         'vit-l/14': dict(patch_size=14, embed_dim=1024, depth=24,
                          num_heads=16),
+        # DINOv2 flavors (layerscale + erf-gelu; HF Dinov2Model layout)
+        'dinov2-s/14': dict(patch_size=14, embed_dim=384, depth=12,
+                            num_heads=6, layerscale=True, exact_gelu=True),
+        'dinov2-b/14': dict(patch_size=14, embed_dim=768, depth=12,
+                            num_heads=12, layerscale=True, exact_gelu=True),
+        'dinov2-l/14': dict(patch_size=14, embed_dim=1024, depth=24,
+                            num_heads=16, layerscale=True, exact_gelu=True),
     }
     kw = dict(presets[name])
     kw.update(overrides)

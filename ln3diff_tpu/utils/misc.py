@@ -88,3 +88,23 @@ class InfiniteSampler:
                 j = (i - rnd.randint(window)) % order.size
                 order[i], order[j] = order[j], order[i]
             idx += 1
+
+
+def cast_floating(tree, dtype):
+    """Cast all floating leaves of a pytree to ``dtype``.
+
+    Inference-time weight storage: modules built with dtype=bf16 already
+    CAST f32 params to bf16 at every call — storing them bf16 skips the
+    f32 HBM read (measured 15.0 → 10.1 ms/step on DiT-L/2, bitwise
+    identical output).  Do NOT use on f32-compute models (outputs would
+    change) or on training state (optimizers want f32 masters).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)

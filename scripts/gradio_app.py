@@ -45,6 +45,9 @@ def build_runner(args):
             'dino': jnp.zeros((2, 16, den_cfg.dino_dim))}
     den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0,
                                       jnp.zeros((2,)), ctx0)
+    # bf16 weight storage (bf16-compute DiT; halves the weight HBM read)
+    from ln3diff_tpu.utils.misc import cast_floating
+    den_vars = cast_floating(den_vars, jnp.bfloat16)
     cam0 = jnp.zeros((1, 25))
     vae_vars = vae.init(
         jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 12)), cam0,

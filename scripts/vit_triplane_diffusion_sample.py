@@ -100,6 +100,10 @@ def main():
         den_vars = {'params': load_numpy_checkpoint(
             args.denoiser_ckpt, den_vars['params']),
             **{k: v for k, v in den_vars.items() if k != 'params'}}
+    # bf16 weight storage (bf16-compute DiT casts per step anyway;
+    # halves the weight HBM read, bitwise identical)
+    from ln3diff_tpu.utils.misc import cast_floating
+    den_vars = cast_floating(den_vars, jnp.bfloat16)
     if args.vae_ckpt:
         vae_vars = {'params': load_numpy_checkpoint(
             args.vae_ckpt, vae_vars['params']),

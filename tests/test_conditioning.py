@@ -84,3 +84,37 @@ class TestCLIPVisionParity:
         np.testing.assert_allclose(np.asarray(out['pooler_output']),
                                    ref.pooler_output.numpy(), rtol=2e-4,
                                    atol=2e-5)
+
+
+class TestDINOv2Parity:
+
+    def test_matches_hf_random_init(self):
+        hf_cfg = transformers.Dinov2Config(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=128, image_size=28, patch_size=14)
+        torch.manual_seed(0)
+        hf = transformers.Dinov2Model(hf_cfg).eval()
+        # random-init layerscale gammas are 1.0 in HF init; perturb so the
+        # test actually exercises the layerscale path
+        with torch.no_grad():
+            for layer in hf.encoder.layer:
+                layer.layer_scale1.lambda1.mul_(0.7)
+                layer.layer_scale2.lambda1.mul_(1.3)
+
+        from ln3diff_tpu.conditioning.convert import convert_hf_dinov2
+        from ln3diff_tpu.models.vit import ViTConfig, VisionTransformer
+
+        ours = VisionTransformer(ViTConfig(
+            img_size=28, patch_size=14, embed_dim=32, depth=2, num_heads=2,
+            mlp_ratio=4, layerscale=True, exact_gelu=True))
+        params = convert_hf_dinov2(hf.state_dict(), depth=2)
+
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(pixel_values=torch.from_numpy(
+                img.transpose(0, 3, 1, 2))).last_hidden_state
+
+        out = ours.apply({'params': params}, jnp.asarray(img))
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                                   rtol=2e-4, atol=2e-5)
