@@ -269,6 +269,25 @@ class TriplaneVAE(nn.Module):
                 ret['image_sr'] = self.superresolution(feature_image)
         return ret
 
+    def render_rays_flat(self, planes: jax.Array, ray_origins: jax.Array,
+                         ray_directions: jax.Array,
+                         render_opts: RenderOptions,
+                         use_fused_osg: bool = False):
+        """Render arbitrary ray bundles → flat (B, R, C) features.
+
+        Unlike :meth:`render` there is no image reshape/SR, so R need not
+        be square — callers can fold an orbit's frames into the ray axis
+        and keep ONE set of planes / ONE corner-packed gather table
+        (``pipeline.render_orbit`` does this; repeating planes per frame
+        re-packs the table every call)."""
+        assert not self.cfg.use_background, 'flat path is fg-only'
+        out = render_rays(None, planes,
+                          lambda f, d: self.osg_decoder(f, d),
+                          ray_origins, ray_directions, render_opts,
+                          fused_osg=self._fused_osg() if use_fused_osg
+                          else None)
+        return out.feature_samples
+
     # -- convenience end-to-end -------------------------------------------
 
     def __call__(self, imgs: jax.Array, camera25: jax.Array,

@@ -57,13 +57,26 @@ class TextTo3DPipeline:
                  render_fn, point_decoder_fn,
                  sampler: SamplerSpec = SamplerSpec(),
                  diffusion: Optional[GaussianDiffusion] = None,
-                 transport: Optional[Transport] = None):
+                 transport: Optional[Transport] = None,
+                 render_rays_fn=None, mixing_logit=None):
         self.denoiser_fn = denoiser_fn
         self.denoiser_params = denoiser_params
         self.decode_fn = decode_fn
         self.vae_params = vae_params
         self.render_fn = render_fn
         self.point_decoder_fn = point_decoder_fn
+        # optional flat-ray renderer (params, planes, ray_o, ray_d) ->
+        # (B, R, C): render_orbit folds frames into the ray axis so the
+        # corner-packed gather table is built once per chunk and planes
+        # are not repeated per frame.  Measured perf-neutral on v5e
+        # (1.174 vs 1.125 s for a 24x128² orbit — the per-call repack is
+        # cheaper inside jit than standalone) but ~4x lighter on plane
+        # HBM; use when memory-bound, not for speed.
+        self.render_rays_fn = render_rays_fn
+        # LSGM mixed prediction (ShapeNet/FFHQ U-Net): the learnable
+        # mixing logit blends the model output with the analytic N(0,I)
+        # denoiser inside p_mean_variance.
+        self.mixing_logit = mixing_logit
         self.spec = sampler
         self.diffusion = diffusion
         self.transport = transport or Transport()
@@ -72,6 +85,8 @@ class TextTo3DPipeline:
                                    static_argnames=('batch',))
         self._decode_jit = jax.jit(decode_fn) if decode_fn else None
         self._render_jit = jax.jit(render_fn) if render_fn else None
+        self._render_rays_jit = jax.jit(render_rays_fn) \
+            if render_rays_fn else None
 
     # -- latent sampling ---------------------------------------------------
 
@@ -96,7 +111,8 @@ class TextTo3DPipeline:
                                           num_steps=spec.num_steps)
         elif spec.kind == 'ddim':
             assert self.diffusion is not None
-            x = self.diffusion.ddim_sample_loop(cfg_fn, shape, key)
+            x = self.diffusion.ddim_sample_loop(
+                cfg_fn, shape, key, mixing_logit=self.mixing_logit)
         elif spec.kind == 'dpm':
             # DPM-Solver++(2M): spec.num_steps solver steps over the FULL
             # (unspaced) schedule — pass a diffusion WITHOUT respacing.
@@ -141,6 +157,29 @@ class TextTo3DPipeline:
         cams = jnp.asarray(orbit_cameras(num_frames, radius, fov,
                                          pitch_deg))
         B = planes.shape[0]
+
+        if self._render_rays_jit is not None and B == 1:
+            # fold frames into the ray axis: ONE set of planes, one
+            # packed table per chunk (no per-frame plane repetition).
+            from .render.ray_sampler import (sample_full_rays,
+                                             unpack_25d_camera)
+            res = render_resolution or 128
+            c2w, intr = unpack_25d_camera(cams)
+            ray_o, ray_d = sample_full_rays(c2w, intr, res)  # (F, R, 3)
+            ray_o = ray_o.reshape(1, -1, 3)
+            ray_d = ray_d.reshape(1, -1, 3)
+            R = res * res
+            chunks = []
+            step = frames_per_call * R
+            for f0 in range(0, num_frames * R, step):
+                feats = self._render_rays_jit(
+                    self.vae_params, planes,
+                    jax.lax.dynamic_slice_in_dim(ray_o, f0, step, axis=1),
+                    jax.lax.dynamic_slice_in_dim(ray_d, f0, step, axis=1))
+                chunks.append(feats[..., :3])
+            flat = jnp.concatenate(chunks, axis=1)    # (1, F*R, 3)
+            return flat.reshape(1, num_frames, res, res, 3)
+
         chunks = []
         for f0 in range(0, num_frames, frames_per_call):
             cam_chunk = cams[f0:f0 + frames_per_call]

@@ -71,8 +71,13 @@ def main():
     key = jax.random.PRNGKey(args.seed)
 
     # -- models ------------------------------------------------------------
+    from ln3diff_tpu.models.unet import UNetConfig, UNetModel
     den_cfg = denoiser_preset(args.denoiser)
-    denoiser = DiT_TriLatent(den_cfg)
+    is_lsgm_unet = isinstance(den_cfg, UNetConfig)
+    if is_lsgm_unet:   # ShapeNet/FFHQ LSGM path: v-pred + mixing logit
+        denoiser = UNetModel(den_cfg)
+    else:
+        denoiser = DiT_TriLatent(den_cfg)
     vae_cfg = vae_preset(args.vae)
     vae = TriplaneVAE(vae_cfg)
     text_model = CLIPTextModel()
@@ -81,7 +86,9 @@ def main():
     x0 = jnp.zeros((2, 32, 32, 12))
     t0 = jnp.zeros((2,))
     ctx0 = {'crossattn': jnp.zeros((2, 77, den_cfg.context_dim))}
-    den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0, t0, ctx0)
+    init_ctx = ctx0['crossattn'] if is_lsgm_unet else ctx0
+    den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0, t0,
+                                      init_ctx)
 
     render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
     latent0 = jnp.zeros((1, vae_cfg.latent_size, vae_cfg.latent_size,
@@ -111,6 +118,8 @@ def main():
 
     # -- pipeline (params are explicit jit args everywhere) ---------------
     def denoiser_fn(params, x, t, context):
+        if is_lsgm_unet:   # U-Net takes the raw crossattn tokens
+            return denoiser.apply(params, x, t, context['crossattn'])
         return denoiser.apply(params, x, t, context)
 
     def decode_fn(params, latents):
@@ -118,7 +127,8 @@ def main():
 
     def render_fn(params, planes, cam25):
         return vae.apply(params, planes, cam25, render_opts,
-                         args.render_resolution, None, use_fused_osg=True,
+                         args.render_resolution, None,
+                         use_fused_osg=not vae_cfg.use_background,
                          method=vae.render)['image_raw']
 
     def point_decoder_fn(params, planes, coords):
@@ -135,9 +145,14 @@ def main():
             cfg_scale=args.unconditional_guidance_scale),
         diffusion=make_diffusion(
             steps=1000,
+            # LSGM U-Net checkpoints are v-pred with mixed prediction
+            mean_type='v' if is_lsgm_unet else 'eps',
+            mixed_prediction=is_lsgm_unet,
             # dpm runs its own solver grid over the full schedule
             timestep_respacing=None if args.objective == 'dpm'
-            else f'ddim{args.num_steps}'))
+            else f'ddim{args.num_steps}'),
+        mixing_logit=den_vars['params'].get('mixing_logit')
+        if is_lsgm_unet else None)
 
     # -- per-prompt loop ---------------------------------------------------
     encode_text_raw = jax.jit(

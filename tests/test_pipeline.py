@@ -131,6 +131,38 @@ class TestTextTo3DPipeline:
         assert lat.shape == (2, 8, 8, 12)
         assert np.isfinite(np.asarray(lat)).all()
 
+    def test_ray_folded_orbit_matches_per_frame(self):
+        """render_orbit with render_rays_fn (frames folded into the ray
+        axis, one packed table) must match the per-frame path."""
+        vae, vae_cfg = tiny_vae()
+        opts = RenderOptions(depth_resolution=4,
+                             depth_resolution_importance=4, box_warp=0.9,
+                             deterministic=True)
+        cam0 = jnp.zeros((1, 25))
+        vae_vars = vae.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 16, 16, 12)), cam0, opts, 8,
+                            method=vae.init_decoder_paths)
+
+        def render_fn(p, planes, cam):
+            return vae.apply(p, planes, cam, opts, 8, None,
+                             method=vae.render)['image_raw']
+
+        def render_rays_fn(p, planes, o, d):
+            return vae.apply(p, planes, o, d, opts,
+                             method=vae.render_rays_flat)
+
+        base = TextTo3DPipeline(None, None, None, vae_vars, render_fn,
+                                None)
+        folded = TextTo3DPipeline(None, None, None, vae_vars, render_fn,
+                                  None, render_rays_fn=render_rays_fn)
+        planes = vae.apply(vae_vars, jnp.ones((1, 16, 16, 12)) * 0.1,
+                           method=vae.decode_latent)
+        v0 = base.render_orbit(planes, num_frames=2, render_resolution=8)
+        v1 = folded.render_orbit(planes, num_frames=2, render_resolution=8)
+        assert v1.shape == (1, 2, 8, 8, 3)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   atol=1e-5)
+
     def test_dpm_kind(self):
         """DPM-Solver++ sampler path through the pipeline (no render)."""
         den_cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
