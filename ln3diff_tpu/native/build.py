@@ -100,6 +100,24 @@ class NativeShardReader:
             pass
 
 
+def get_mesh_io():
+    """Fast colored OBJ/PLY writers (``mesh_io.cpp``)."""
+    src = os.path.join(os.path.dirname(__file__), 'mesh_io.cpp')
+    lib = build_and_load(src)
+    for name in ('ln_write_obj', 'ln_write_ply'):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+    lib.ln_write_obj.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    lib.ln_write_ply.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    return lib
+
+
 def get_marching_tetrahedra():
     src = os.path.join(os.path.dirname(__file__), 'marching_cubes.cpp')
     lib = build_and_load(src)
