@@ -206,21 +206,24 @@ class GaussianDiffusion:
 
     # -- model output → (mean, var, x0) ------------------------------------
 
-    def _apply_mixing(self, model_output, x_t, t, mixing_logit):
+    def _apply_mixing(self, model_output, x_t, t, mixing_logit,
+                      space: str = 'eps'):
         """LSGM mixed prediction (reference ``get_mixed_prediction``,
-        ``continuous_diffusion_utils.py:748``): pred = α·model + (1-α)·x?
-        Actually pred_eps = (1-σ(logit))·noise_part omitted in discrete
-        path; here we follow the discrete usage: eps = σ(logit)·model_out
-        mixed with the analytic eps of x_t under N(0,I) prior, i.e.
-        eps_mix = (1-m)·x_t_coef… — the reference's discrete trainer mixes
-        eps_pred = m ⊙ model_out + (1-m) ⊙ x_t-scaled term via
-        ``mixing_component``.  We implement eps' = (1-m)·c + m·eps where
-        c = sqrt(1-ᾱ_t)·x_t is the mixing component (reference
-        ``continuous_diffusion.py:mixing_component``)."""
+        ``continuous_diffusion_utils.py:748``): the learned logit blends
+        the model output with the analytic denoiser of the N(0,I) prior,
+        pred = (1-σ(logit))·component + σ(logit)·model_out.
+
+        ``space`` selects the mixing component (reference
+        ``gaussian_diffusion.py:548-570``):
+          * 'eps': sqrt(1-ᾱ_t)·x_t — model_output must already BE eps
+            (v predictions are converted to eps before mixing, reference
+            ``p_mean_variance:327-348``);
+          * 'x0' : sqrt(ᾱ_t)·x_t  — for START_X models.
+        """
         m = jax.nn.sigmoid(mixing_logit)
-        coef = self._extract(self.sqrt_one_minus_alphas_cumprod, t,
-                             x_t.ndim)
-        mixing_component = coef * x_t
+        table = (self.sqrt_one_minus_alphas_cumprod if space == 'eps'
+                 else self.sqrt_alphas_cumprod)
+        mixing_component = self._extract(table, t, x_t.ndim) * x_t
         return (1 - m) * mixing_component + m * model_output
 
     def p_mean_variance(self, model_output, x, t,
@@ -248,13 +251,20 @@ class GaussianDiffusion:
             model_log_variance = self._extract(
                 self.posterior_log_variance_clipped, t, x.ndim)
 
+        mean_type = spec.mean_type
         if spec.mixed_prediction and mixing_logit is not None:
+            # Reference p_mean_variance:327-348: v outputs are converted
+            # to eps FIRST, then mixed, and the blend is treated as eps.
+            if mean_type == 'v':
+                model_output = self.predict_eps_from_v(x, t, model_output)
+                mean_type = 'eps'
+            space = 'x0' if mean_type == 'x0' else 'eps'
             model_output = self._apply_mixing(model_output, x, t,
-                                              mixing_logit)
+                                              mixing_logit, space=space)
 
-        if spec.mean_type == 'eps':
+        if mean_type == 'eps':
             x0 = self.predict_xstart_from_eps(x, t, model_output)
-        elif spec.mean_type == 'v':
+        elif mean_type == 'v':
             x0 = self.predict_xstart_from_v(x, t, model_output)
         else:
             x0 = model_output

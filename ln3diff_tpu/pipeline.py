@@ -8,7 +8,9 @@ Rewrite of the reference's north-star sampling path
   1. conditioner → (cond, uncond) context;
   2. denoiser sampling (FM-ODE / DDIM) with CFG as a single jitted scan
      over (B, 32, 32, 12) latents;
-  3. latent ÷ triplane_scaling_divider → VAE decode → planes;
+  3. sampled latent × triplane_scaling_divider → VAE decode → planes
+     (training normalizes x0 = latent / divider, so sampling undoes it;
+     reference ``nsr/train_util_diffusion.py:188``);
   4. orbit-camera volume rendering to video frames (all frames batched
      into ONE render call — amortizes the plane gather table);
   5. marching-tetrahedra mesh export.
@@ -119,7 +121,8 @@ class TextTo3DPipeline:
             from .diffusion.dpm_solver import dpm_solver_sample_loop
             assert self.diffusion is not None
             x = dpm_solver_sample_loop(self.diffusion, cfg_fn, shape, key,
-                                       num_steps=spec.num_steps)
+                                       num_steps=spec.num_steps,
+                                       mixing_logit=self.mixing_logit)
         else:
             raise NotImplementedError(spec.kind)
         return x * spec.triplane_scaling_divider
@@ -214,9 +217,10 @@ class TextTo3DPipeline:
                  mesh_grid: int = 192,
                  render_resolution: Optional[int] = None):
         k_sample, _ = jax.random.split(key)
+        # sample_latents already returns sample * triplane_scaling_divider
+        # (the decoder-space latent); pass it to decode unchanged.
         latents = self.sample_latents(k_sample, batch, cond, uncond)
-        planes = self._decode_jit(
-            self.vae_params, latents / self.spec.triplane_scaling_divider)
+        planes = self._decode_jit(self.vae_params, latents)
         video = self.render_orbit(planes, num_frames,
                                   render_resolution=render_resolution)
         out = {'latents': latents, 'planes': planes, 'video': video}

@@ -232,3 +232,65 @@ class TestEDM:
         loss = edm_training_loss(den, lambda x, cn, cond: jnp.zeros_like(x),
                                  x0, jax.random.PRNGKey(1), None)
         assert np.isfinite(np.asarray(loss)).all()
+
+
+class TestMixedPrediction:
+    """LSGM mixing-logit semantics (reference gaussian_diffusion.py:327-348
+    + continuous_diffusion_utils.py:748): v outputs convert to eps BEFORE
+    mixing, and the blend is treated as eps."""
+
+    def _setup(self):
+        from ln3diff_tpu.diffusion.gaussian import make_diffusion
+        d = make_diffusion(steps=100, mean_type='v', mixed_prediction=True)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (4, 8))
+        v = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+        t = jnp.array([3, 17, 50, 90])
+        return d, x, v, t
+
+    def test_v_converts_to_eps_before_mixing(self):
+        d, x, v, t = self._setup()
+        logit = jnp.asarray(0.3)
+        _, _, _, x0 = d.p_mean_variance(v, x, t, mixing_logit=logit)
+        # manual: eps = eps(v), blend in eps space, x0 from blended eps
+        eps = d.predict_eps_from_v(x, t, v)
+        m = jax.nn.sigmoid(logit)
+        comp = d._extract(d.sqrt_one_minus_alphas_cumprod, t, x.ndim) * x
+        eps_mix = (1 - m) * comp + m * eps
+        expect = d.predict_xstart_from_eps(x, t, eps_mix)
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(expect),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_saturated_logit_recovers_plain_v(self):
+        """σ(logit)→1 must reduce to the unmixed v path."""
+        d, x, v, t = self._setup()
+        _, _, _, x0 = d.p_mean_variance(v, x, t,
+                                        mixing_logit=jnp.asarray(30.0))
+        expect = d.predict_xstart_from_v(x, t, v)
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(expect),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_x0_space_mixing_component(self):
+        from ln3diff_tpu.diffusion.gaussian import make_diffusion
+        d = make_diffusion(steps=100, mean_type='x0',
+                           mixed_prediction=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+        out = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+        t = jnp.array([3, 17, 50, 90])
+        logit = jnp.asarray(-0.7)
+        _, _, _, x0 = d.p_mean_variance(out, x, t, mixing_logit=logit)
+        m = jax.nn.sigmoid(logit)
+        comp = d._extract(d.sqrt_alphas_cumprod, t, x.ndim) * x
+        expect = (1 - m) * comp + m * out
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(expect),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_dpm_solver_mixing_logit(self):
+        """DPM branch applies the same blend (was silently ignored)."""
+        from ln3diff_tpu.diffusion.dpm_solver import _to_x0
+        d, x, v, t = self._setup()
+        logit = jnp.asarray(0.3)
+        got = _to_x0(d, v, x, t, mixing_logit=logit)
+        _, _, _, expect = d.p_mean_variance(v, x, t, mixing_logit=logit)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   rtol=1e-5, atol=1e-5)

@@ -184,3 +184,54 @@ class TestTextTo3DPipeline:
                                       {'crossattn': jnp.zeros((1, 7, 16))})
         assert lat.shape == (2, 8, 8, 12)
         assert np.isfinite(np.asarray(lat)).all()
+
+
+class TestScalingDivider:
+    """Regression for the round-1 divider double-application: decode must
+    receive sample × triplane_scaling_divider (reference decodes
+    ``sample * divider``, nsr/train_util_diffusion.py:188 /
+    crossattn_cldm_objv.py:512-543), NOT the normalized latent."""
+
+    def _pipeline(self, divider):
+        den_cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                            hidden_size=32, depth=2, num_heads=2,
+                            variant='text', context_dim=16,
+                            dtype=jnp.float32)
+        denoiser = DiT_TriLatent(den_cfg)
+        den_vars = denoiser.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 8, 8, 12)), jnp.zeros((2,)),
+                                 {'crossattn': jnp.zeros((2, 7, 16))})
+        decode_inputs = []
+
+        def decode_fn(p, latents):
+            decode_inputs.append(latents)
+            return latents * 1.0
+
+        def render_fn(p, planes, cam):
+            B = planes.shape[0]
+            return jnp.zeros((B, 4, 4, 3))
+
+        pipe = TextTo3DPipeline(
+            lambda p, x, t, c: denoiser.apply(p, x, t, c), den_vars,
+            decode_fn, {}, render_fn, None,
+            sampler=SamplerSpec(kind='ddim', num_steps=4, cfg_scale=2.0,
+                                latent_shape=(8, 8, 12),
+                                triplane_scaling_divider=divider),
+            diffusion=make_diffusion(steps=100, timestep_respacing='4'))
+        return pipe, decode_inputs
+
+    def test_decode_receives_rescaled_latent(self):
+        cond = {'crossattn': jnp.ones((1, 7, 16))}
+        uncond = {'crossattn': jnp.zeros((1, 7, 16))}
+        # divider only scales _sample_impl's OUTPUT, so with identical
+        # keys the decoder input must scale exactly linearly in it —
+        # exercise the ShapeNet-text scale 18.4 where the old bug was
+        # catastrophic.
+        outs = {}
+        for divider in (1.0, 18.4):
+            pipe, rec = self._pipeline(divider)
+            out = pipe(jax.random.PRNGKey(3), cond, uncond, batch=1,
+                       num_frames=1)
+            outs[divider] = np.asarray(out['planes'])
+        np.testing.assert_allclose(outs[18.4], outs[1.0] * 18.4,
+                                   rtol=1e-5, atol=1e-6)
