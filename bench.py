@@ -1,9 +1,12 @@
 """Benchmark: full text→mesh wall-clock on one chip — the north-star
 metric (BASELINE.md: < 5 s for DiT-L/2 @ 250 DDPM steps + render + mesh).
 
-Pipeline measured: CLIP-text encode → 250-step DDIM scan over DiT-L/2
-(CFG-doubled) → VAE decode to (3, 128, 128, 32) planes → 24-frame 128²
-orbit render → 128³ marching-tetrahedra mesh export.
+Pipeline measured at the REFERENCE output spec (BASELINE.md: Objaverse
+renders 192², meshes 192³; ``render_video_given_triplane``
+``nsr/train_util_diffusion.py:208-249``): CLIP-text encode → 250-step
+DDIM scan over DiT-L/2 (CFG-doubled) → DiT2-L/2 VAE decode to
+(3, 256, 256, 32) planes → 24-frame 192² orbit render → 192³
+marching-tetrahedra mesh export.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline = 5.0 / wall (>1 beats the reference target).  The first
@@ -36,13 +39,13 @@ def main():
     from ln3diff_tpu.models.vae import TriplaneVAE
     from ln3diff_tpu.pipeline import SamplerSpec, TextTo3DPipeline
 
-    render_resolution = 128
+    render_resolution = 192
     num_frames = 24
-    mesh_grid = 128
+    mesh_grid = 192
 
     den_cfg = denoiser_preset('t23d-dit-l2')
     denoiser = DiT_TriLatent(den_cfg)
-    vae_cfg = vae_preset('objaverse-s')
+    vae_cfg = vae_preset('objaverse')   # DiT2-L/2 decoder (release arch)
     vae = TriplaneVAE(vae_cfg)
     text_model = CLIPTextModel()
     tokenizer = SimpleCLIPTokenizer()

@@ -106,31 +106,46 @@ class Attention(nn.Module):
 
 class CrossAttention(nn.Module):
     """Query tokens attend to context tokens (reference
-    ``MemoryEfficientCrossAttention``, ``ldm/modules/attention.py``)."""
+    ``MemoryEfficientCrossAttention``, ``ldm/modules/attention.py:245``).
+
+    Matches the reference's fixed ``dim_head=64`` inner width: projections
+    map to ``num_heads*dim_head`` (NOT D/num_heads per head), and
+    ``to_out`` maps back to the query dim."""
     num_heads: int
     context_dim: Optional[int] = None
+    dim_head: int = 64
+    qk_norm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context):
         B, L, D = x.shape
-        head_dim = D // self.num_heads
-        q = nn.Dense(D, use_bias=False, dtype=self.dtype, name='to_q')(x)
-        k = nn.Dense(D, use_bias=False, dtype=self.dtype, name='to_k')(context)
-        v = nn.Dense(D, use_bias=False, dtype=self.dtype, name='to_v')(context)
+        inner = self.num_heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name='to_q')(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     name='to_k')(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     name='to_v')(context)
 
         def heads(t):
-            return t.reshape(B, -1, self.num_heads, head_dim)
+            return t.reshape(B, -1, self.num_heads, self.dim_head)
 
-        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
-        out = out.reshape(B, L, D)
+        q, k, v = heads(q), heads(k), heads(v)
+        if self.qk_norm:
+            q = nn.RMSNorm(epsilon=1e-5, dtype=self.dtype, name='q_norm')(q)
+            k = nn.RMSNorm(epsilon=1e-5, dtype=self.dtype, name='k_norm')(k)
+        out = jax.nn.dot_product_attention(q, k, v)
+        out = out.reshape(B, L, inner)
         return nn.Dense(D, dtype=self.dtype, name='to_out')(out)
 
 
 class GeluMLP(nn.Module):
     hidden_mult: int = 4
     dtype: Any = jnp.float32
-    exact_gelu: bool = False     # DINOv2 uses erf-gelu; DiT uses tanh
+    # erf-gelu: DINOv2 AND the reference DiT blocks (xformers FusedMLP
+    # with Activation.GeLU = exact nn.GELU); only CaptionEmbedder's Mlp
+    # uses the tanh approximation (``approx_gelu``).
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -262,7 +277,7 @@ class DiTBlock(nn.Module):
 
         h = t2i_modulate(norm('norm2')(x), shift_mlp, scale_mlp)
         x = x + gate_mlp * GeluMLP(self.mlp_ratio, dtype=self.dtype,
-                                   name='mlp')(h)
+                                   exact_gelu=True, name='mlp')(h)
         return x
 
 
