@@ -88,14 +88,20 @@ def vae_preset(name: str = 'objaverse', dtype=jnp.bfloat16
             conv_sr_res_blocks=1, plane_channels=32,
             decoder_output_dim=32, use_sr=False, dtype=dtype)
     if name == 'shapenet':
-        dit2 = dit2_registry('DiT2-B/2', tokens_per_plane=256, dtype=dtype)
-        return TriplaneVAEConfig(
-            encoder_in_channels=3, encoder_ch=64,
-            encoder_ch_mult=(1, 2, 4, 4), encoder_res_blocks=1,
-            img_resolution=256, num_views=0, ldm_z_channels=4,
-            latent_size=32, dit2=dit2, patch_size=2,
-            conv_sr_ch=32, conv_sr_ch_mult=(1, 2, 2, 4),
-            conv_sr_res_blocks=1, plane_channels=32,
+        # released arch (sample_shapenet_*_t23d.sh: --ae_classname
+        # RodinSR_256_fusionv5_ConvQuant_liteSR_dinoInit3DAttn,
+        # --dino_version v2 --arch_encoder vits --arch_decoder vitb):
+        # DINOv2-S/14 encoder, DINOv2-B pair-fusion decoder with uvit
+        # skips, RodinConv 4X SR head, NearestConvSR render SR.
+        from .models.vae_shapenet import ShapeNetVAEConfig
+        from .models.vit import vit_registry
+        return ShapeNetVAEConfig(
+            encoder_vit=vit_registry('dinov2-s/14', img_size=224,
+                                     dtype=dtype),
+            ldm_z_channels=4, vae_p=2, token_size=16, patch_size=2,
+            decoder_embed_dim=768, decoder_fusion_depth=6,
+            decoder_num_heads=12, channel_multiplier=4, unpatchify_p=4,
+            plane_channels=32, triplane_resolution=256,
             decoder_output_dim=32, use_sr=True, sr_ratio=2, dtype=dtype)
     if name == 'ffhq':
         # FFHQ 3D-aware faces (BASELINE config[2]): single-view RGB in,
@@ -116,6 +122,17 @@ def vae_preset(name: str = 'objaverse', dtype=jnp.bfloat16
     raise KeyError(name)
 
 
+def build_vae(cfg):
+    """Instantiate the right VAE module for a preset config
+    (``TriplaneVAEConfig`` → ``TriplaneVAE``; ``ShapeNetVAEConfig`` →
+    ``ShapeNetVAE``)."""
+    from .models.vae import TriplaneVAE
+    from .models.vae_shapenet import ShapeNetVAE, ShapeNetVAEConfig
+    if isinstance(cfg, ShapeNetVAEConfig):
+        return ShapeNetVAE(cfg)
+    return TriplaneVAE(cfg)
+
+
 def denoiser_preset(name: str, dtype=jnp.bfloat16):
     """Stage-2 denoiser configs for the released checkpoints."""
     if name == 't23d-dit-l2':         # objaverse text→3D DDPM
@@ -125,9 +142,12 @@ def denoiser_preset(name: str, dtype=jnp.bfloat16):
         return dit_registry('DiT-I23D-L/2', input_size=32, in_channels=4,
                             dtype=dtype)
     if name == 'shapenet-unet':       # ShapeNet/FFHQ LSGM U-Net 320ch
+        # release flags (sample_shapenet_car_t23d.sh:69-88): num_channels
+        # 320, attention_resolutions "4,2,1" @ input 32 → ds 8 only,
+        # image_size 32 → channel_mult (1,2,4,4).
         return UNetConfig(in_channels=4, model_channels=320, out_channels=4,
-                          num_res_blocks=2, attention_resolutions=(4, 2, 1),
-                          channel_mult=(1, 2, 4), num_heads=8,
+                          num_res_blocks=2, attention_resolutions=(8,),
+                          channel_mult=(1, 2, 4, 4), num_heads=8,
                           use_spatial_transformer=True, context_dim=768,
                           roll_out=True, mixed_prediction=True, dtype=dtype)
     raise KeyError(name)

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from .layers import timestep_embedding
-from .unet import ResBlock, SpatialTransformer, UNetConfig, _norm
+from .unet import (Downsample, ResBlock, SpatialTransformer, UNetConfig,
+                   _norm)
 
 
 def _zero_conv(ch, dtype, name):
@@ -103,9 +104,13 @@ class ControlNet(nn.Module):
                 controls.append(_zero_conv(ch, dt, f'zero_{zi}')(h))
                 zi += 1
             if level != len(cfg.channel_mult) - 1:
-                h = ResBlock(ch, cfg.use_scale_shift_norm, down=True,
-                             dtype=dt,
-                             name=f'down_{level}_downsample')(h, emb)
+                if cfg.resblock_updown:
+                    h = ResBlock(ch, cfg.use_scale_shift_norm, down=True,
+                                 dtype=dt,
+                                 name=f'down_{level}_downsample')(h, emb)
+                else:
+                    h = Downsample(ch, dtype=dt,
+                                   name=f'down_{level}_downsample')(h)
                 controls.append(_zero_conv(ch, dt, f'zero_{zi}')(h))
                 zi += 1
                 ds *= 2

@@ -66,9 +66,9 @@ class ResnetBlock(nn.Module):
 
 class AttnBlock(nn.Module):
     """Single-head spatial self-attention with 1x1 convs (reference
-    ``AttnBlock``).  ``num_views > 1`` attends jointly across views
-    (the mv-vanilla / SpatialTransformer3D role)."""
-    num_views: int = 1
+    ``AttnBlock``, the SD 'vanilla' attention used in ``Decoder`` and
+    plain ``Encoder``)."""
+    num_views: int = 1   # joint-view tokens (legacy; release archs use MVAttn)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -88,6 +88,67 @@ class AttnBlock(nn.Module):
         out = out.reshape(B, H, W, C)
         out = nn.Conv(C, (1, 1), dtype=self.dtype, name='proj_out')(out)
         return x + out
+
+
+class MVAttn(nn.Module):
+    """Multi-view transformer attention — the reference's 'mv-vanilla'
+    ``SpatialTransformer3D`` (``ldm/modules/attention.py:405-463``) with
+    ``BasicTransformerBlock3D`` blocks (:390-402): attn1 jointly over all
+    views' tokens, attn2 per-view self-attention, GEGLU feed-forward.
+    ``inner_dim = num_heads * dim_head`` (8*64 for the release encoders),
+    1x1 proj_in/out with zero-init proj_out, residual."""
+    num_views: int
+    num_heads: int = 8
+    dim_head: int = 64
+    depth: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        inner = self.num_heads * self.dim_head
+        V = self.num_views
+        h = GroupNorm32(self.dtype, name='norm')(x)
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name='proj_in')(h)
+        h = h.reshape(B, H * W, inner)
+
+        def mha(q_in, kv_in, name):
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name=f'{name}_q')(q_in)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name=f'{name}_k')(kv_in)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name=f'{name}_v')(kv_in)
+            n = q_in.shape[0]
+            out = jax.nn.dot_product_attention(
+                q.reshape(n, -1, self.num_heads, self.dim_head),
+                k.reshape(n, -1, self.num_heads, self.dim_head),
+                v.reshape(n, -1, self.num_heads, self.dim_head))
+            return nn.Dense(inner, dtype=self.dtype, name=f'{name}_out')(
+                out.reshape(n, -1, inner))
+
+        for d in range(self.depth):
+            blk = f'block_{d}'
+            # attn1: joint over views — (b f) l c -> b (f l) c
+            hj = h.reshape(B // V, V * H * W, inner)
+            hn = nn.LayerNorm(dtype=self.dtype, name=f'{blk}_norm1')(hj)
+            hj = hj + mha(hn, hn, f'{blk}_attn1')
+            h = hj.reshape(B, H * W, inner)
+            # attn2: per-view self-attention
+            hn = nn.LayerNorm(dtype=self.dtype, name=f'{blk}_norm2')(h)
+            h = h + mha(hn, hn, f'{blk}_attn2')
+            hn = nn.LayerNorm(dtype=self.dtype, name=f'{blk}_norm3')(h)
+            ff = nn.Dense(8 * inner, dtype=self.dtype,
+                          name=f'{blk}_ff_proj')(hn)
+            val, gate = jnp.split(ff, 2, axis=-1)
+            ff = val * nn.gelu(gate, approximate=False)
+            h = h + nn.Dense(inner, dtype=self.dtype,
+                             name=f'{blk}_ff_out')(ff)
+
+        h = h.reshape(B, H, W, inner)
+        h = nn.Conv(C, (1, 1), dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name='proj_out')(h)
+        return x + h
 
 
 class Downsample(nn.Module):
@@ -123,6 +184,8 @@ class AutoencoderConfig:
     double_z: bool = True
     out_ch: int = 3
     num_views: int = 1            # >1 → multi-view attention in the mid block
+    attn_heads: int = 8           # mv-vanilla SpatialTransformer3D heads
+    attn_dim_head: int = 64       # reference nsr/script_util.py:1311-1314
     dtype: Any = jnp.float32
 
 
@@ -145,14 +208,23 @@ class Encoder(nn.Module):
                 h = ResnetBlock(block_out, dtype=dt,
                                 name=f'down_{i_level}_block_{i_block}')(h)
                 if curr_res in cfg.attn_resolutions:
-                    h = AttnBlock(cfg.num_views, dtype=dt,
-                                  name=f'down_{i_level}_attn_{i_block}')(h)
+                    if cfg.num_views > 1:
+                        h = MVAttn(cfg.num_views, cfg.attn_heads,
+                                   cfg.attn_dim_head, dtype=dt,
+                                   name=f'down_{i_level}_attn_{i_block}')(h)
+                    else:
+                        h = AttnBlock(1, dtype=dt,
+                                      name=f'down_{i_level}_attn_{i_block}')(h)
             if i_level != num_resolutions - 1:
                 h = Downsample(dtype=dt, name=f'down_{i_level}_downsample')(h)
                 curr_res //= 2
 
         h = ResnetBlock(h.shape[-1], dtype=dt, name='mid_block_1')(h)
-        h = AttnBlock(cfg.num_views, dtype=dt, name='mid_attn_1')(h)
+        if cfg.num_views > 1:
+            h = MVAttn(cfg.num_views, cfg.attn_heads, cfg.attn_dim_head,
+                       dtype=dt, name='mid_attn_1')(h)
+        else:
+            h = AttnBlock(1, dtype=dt, name='mid_attn_1')(h)
         h = ResnetBlock(h.shape[-1], dtype=dt, name='mid_block_2')(h)
 
         h = GroupNorm32(dt, name='norm_out')(h)

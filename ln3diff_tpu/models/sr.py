@@ -34,8 +34,11 @@ class NearestConvSR(nn.Module):
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         C = x.shape[-1]
         x = nn.Conv(C, (3, 3), dtype=dt, name='conv_after_body')(x) + x
-        x = lrelu(nn.Conv(self.num_feat, (3, 3), dtype=dt,
-                          name='conv_before_upsample')(x))
+        # reference: conv_before_upsample's own LeakyReLU uses the torch
+        # default slope 0.01 (components.py:379), unlike the 0.2 elsewhere
+        x = nn.leaky_relu(
+            nn.Conv(self.num_feat, (3, 3), dtype=dt,
+                    name='conv_before_upsample')(x), 0.01)
         x = lrelu(nn.Conv(self.num_feat, (3, 3), dtype=dt,
                           name='conv_up1')(_up2(x)))
         if self.sr_ratio == 4:

@@ -1,13 +1,19 @@
 """LDM/ADM U-Net denoiser with triplane roll-out and LSGM mixing logit.
 
 TPU-native rewrite of ``guided_diffusion/unet.py`` (``UNetModel:427-1024``):
-ResBlocks with FiLM scale-shift norm, self-attention at configured
-downsample rates, optional ``SpatialTransformer`` cross-attention
-(context_dim 768 — the ShapeNet/FFHQ text-conditioned path), and the
-triplane ``roll_out`` mode where the three planes are concatenated along
-width (reference ``'b (n c) h w -> b c h (n w)'``, :768-790) so convs and
-attention see all planes jointly.  The LSGM ``mixing_logit`` parameter
-(:488-534) is exposed via a dedicated param.
+ResBlocks with FiLM scale-shift norm, LDM ``SpatialTransformer``
+cross-attention blocks (GEGLU feed-forward, ``ldm/modules/attention.py:
+343-386``; context_dim 768 — the ShapeNet/FFHQ text-conditioned path),
+strided-conv ``Downsample`` / nearest+conv ``Upsample`` between levels
+(reference ``resblock_updown=False`` default, ``unet.py:102-160``), and
+the triplane ``roll_out`` mode where the three planes are concatenated
+along width (reference ``'b (n c) h w -> b c h (n w)'``, :768-790) so
+convs and attention see all planes jointly.  The LSGM ``mixing_logit``
+parameter (:488-534) is exposed via a dedicated param.
+
+Structurally 1:1 with the reference so the released ShapeNet/FFHQ joint
+checkpoints convert directly (see ``conditioning/convert_ln3diff.py``
+``convert_unet``); numerically verified in ``tests/test_ref_parity.py``.
 
 Channels-last NHWC throughout.  Gradient checkpointing is the caller's
 choice via ``jax.checkpoint`` around the apply (XLA remat), not baked in.
@@ -25,11 +31,11 @@ import jax.numpy as jnp
 from .layers import timestep_embedding
 
 
-def _norm(x, dtype, name=None):
+def _norm(x, dtype, name=None, eps=1e-5):
     groups = min(32, x.shape[-1])
     while x.shape[-1] % groups:
         groups -= 1
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype,
+    return nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=dtype,
                         name=name)(x)
 
 
@@ -80,7 +86,34 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class Downsample(nn.Module):
+    """Strided-conv downsample (reference ``Downsample`` with
+    ``use_conv=True``): 3x3 stride-2 conv with torch's (1,1) padding."""
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name='op')(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 + 3x3 conv (reference ``Upsample``)."""
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, 2 * H, 2 * W, C), 'nearest')
+        return nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                       name='conv')(x)
+
+
 class SelfAttention2D(nn.Module):
+    """ADM AttentionBlock (used when ``use_spatial_transformer=False``)."""
     num_head_channels: int = 64
     dtype: Any = jnp.float32
 
@@ -103,20 +136,15 @@ class SelfAttention2D(nn.Module):
         return x + out
 
 
-class SpatialTransformer(nn.Module):
-    """1-depth transformer block with cross-attention to context
-    (reference ``ldm/modules/attention.py:SpatialTransformer``)."""
+class TransformerBlock(nn.Module):
+    """LDM ``BasicTransformerBlock``: self-attn, cross-attn, GEGLU ff
+    (``ldm/modules/attention.py:311-341``, ``gated_ff=True``)."""
     num_heads: int
-    context_dim: int
-    depth: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context):
-        B, H, W, C = x.shape
-        h = _norm(x, self.dtype, 'norm')
-        h = nn.Conv(C, (1, 1), dtype=self.dtype, name='proj_in')(h)
-        h = h.reshape(B, H * W, C)
+    def __call__(self, h, context):
+        B, L, C = h.shape
         head_dim = C // self.num_heads
 
         def mha(q_in, kv_in, name):
@@ -133,16 +161,38 @@ class SpatialTransformer(nn.Module):
             return nn.Dense(C, dtype=self.dtype, name=f'{name}_out')(
                 out.reshape(B, -1, C))
 
-        for d in range(self.depth):
-            hn = nn.LayerNorm(dtype=self.dtype, name=f'ln1_{d}')(h)
-            h = h + mha(hn, hn, f'self_{d}')
-            hn = nn.LayerNorm(dtype=self.dtype, name=f'ln2_{d}')(h)
-            h = h + mha(hn, context.astype(self.dtype), f'cross_{d}')
-            hn = nn.LayerNorm(dtype=self.dtype, name=f'ln3_{d}')(h)
-            ff = nn.Dense(4 * C, dtype=self.dtype, name=f'ff1_{d}')(hn)
-            ff = nn.gelu(ff)
-            h = h + nn.Dense(C, dtype=self.dtype, name=f'ff2_{d}')(ff)
+        hn = nn.LayerNorm(dtype=self.dtype, name='norm1')(h)
+        h = h + mha(hn, hn, 'attn1')
+        hn = nn.LayerNorm(dtype=self.dtype, name='norm2')(h)
+        kv = context.astype(self.dtype) if context is not None else hn
+        h = h + mha(hn, kv, 'attn2')
+        hn = nn.LayerNorm(dtype=self.dtype, name='norm3')(h)
+        # GEGLU: proj to 2*(4C), gate with exact gelu
+        ff = nn.Dense(8 * C, dtype=self.dtype, name='ff_proj')(hn)
+        val, gate = jnp.split(ff, 2, axis=-1)
+        ff = val * nn.gelu(gate, approximate=False)
+        return h + nn.Dense(C, dtype=self.dtype, name='ff_out')(ff)
 
+
+class SpatialTransformer(nn.Module):
+    """LDM ``SpatialTransformer`` (``ldm/modules/attention.py:343-386``):
+    GroupNorm(eps 1e-6) → 1x1 proj_in → transformer blocks → zero 1x1
+    proj_out, residual.  ``inner_dim == channels`` (reference legacy
+    head sizing: dim_head = ch // num_heads)."""
+    num_heads: int
+    context_dim: int
+    depth: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, H, W, C = x.shape
+        h = _norm(x, self.dtype, 'norm', eps=1e-6)
+        h = nn.Conv(C, (1, 1), dtype=self.dtype, name='proj_in')(h)
+        h = h.reshape(B, H * W, C)
+        for d in range(self.depth):
+            h = TransformerBlock(self.num_heads, dtype=self.dtype,
+                                 name=f'block_{d}')(h, context)
         h = h.reshape(B, H, W, C)
         h = nn.Conv(C, (1, 1), dtype=self.dtype,
                     kernel_init=nn.initializers.zeros, name='proj_out')(h)
@@ -155,14 +205,15 @@ class UNetConfig:
     model_channels: int = 320
     out_channels: int = 4             # 2x for learned_range variance
     num_res_blocks: int = 2
-    attention_resolutions: Sequence[int] = (4, 2, 1)   # downsample rates
-    channel_mult: Sequence[int] = (1, 2, 4)
+    attention_resolutions: Sequence[int] = (8,)   # downsample rates
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
     num_heads: int = 8
     num_head_channels: int = -1
     use_spatial_transformer: bool = True
     context_dim: int = 768
     transformer_depth: int = 1
     use_scale_shift_norm: bool = True
+    resblock_updown: bool = False     # False → conv Down/Upsample (ref default)
     roll_out: bool = True
     mixed_prediction: bool = True
     mixing_logit_init: float = -6.0
@@ -237,9 +288,13 @@ class UNetModel(nn.Module):
                         self._attn(ds, ch, f'down_{level}_attn_{i}')(h)
                 hs.append(h)
             if level != len(cfg.channel_mult) - 1:
-                h = ResBlock(ch, cfg.use_scale_shift_norm, down=True,
-                             dtype=dt, name=f'down_{level}_downsample')(
-                                 h, emb)
+                if cfg.resblock_updown:
+                    h = ResBlock(ch, cfg.use_scale_shift_norm, down=True,
+                                 dtype=dt,
+                                 name=f'down_{level}_downsample')(h, emb)
+                else:
+                    h = Downsample(ch, dtype=dt,
+                                   name=f'down_{level}_downsample')(h)
                 hs.append(h)
                 ds *= 2
 
@@ -268,10 +323,15 @@ class UNetModel(nn.Module):
                     h = self._attn(ds, ch, f'up_{level}_attn_{i}')(
                         h, context) if cfg.use_spatial_transformer else \
                         self._attn(ds, ch, f'up_{level}_attn_{i}')(h)
-            if level != 0:
-                h = ResBlock(ch, cfg.use_scale_shift_norm, up=True, dtype=dt,
-                             name=f'up_{level}_upsample')(h, emb)
-                ds //= 2
+                if level and i == cfg.num_res_blocks:
+                    if cfg.resblock_updown:
+                        h = ResBlock(ch, cfg.use_scale_shift_norm, up=True,
+                                     dtype=dt,
+                                     name=f'up_{level}_upsample')(h, emb)
+                    else:
+                        h = Upsample(ch, dtype=dt,
+                                     name=f'up_{level}_upsample')(h)
+                    ds //= 2
 
         h = nn.silu(_norm(h, dt, 'out_norm'))
         h = nn.Conv(cfg.out_channels, (3, 3), dtype=dt,

@@ -156,48 +156,55 @@ class TriplaneVAE(nn.Module):
     # -- encoder ----------------------------------------------------------
 
     def encode(self, imgs: jax.Array) -> jax.Array:
-        """(B*V, H, W, C_in) → moments (B, h, w, 3, 2z), plane-major."""
+        """(B*V, H, W, C_in) → moments (B, h, w, 2z, 3).
+
+        The channel unpacking replicates the reference's ``vae_encode``
+        (``vit_triplane.py:912-933``): the grouped ``quant_conv`` output
+        (plane-major groups) is *viewed* as (2z, plane) with plane
+        fastest — a fixed interleave the released weights absorbed, so
+        it must be reproduced bit-for-bit, not "fixed"."""
         cfg = self.cfg
         h = self.encoder(imgs)
-        # put plane major for the grouped conv: encoder output channel
-        # layout is (plane, 2z) by convention.
         moments = self.quant_conv(h)
         B, hh, ww, C = moments.shape
-        return moments.reshape(B, hh, ww, 3, 2 * cfg.ldm_z_channels)
+        return moments.reshape(B, hh, ww, 2 * cfg.ldm_z_channels, 3)
 
     def reparameterize(self, moments: jax.Array, key: Optional[jax.Array],
                        sample_posterior: bool = True):
-        """moments (B, h, w, 3, 2z) → latent (B, h, w, z*3) plane-fastest."""
+        """moments (B, h, w, 2z, 3) → latent (B, h, w, z*3), channel
+        layout z*3+p (plane fastest — the reference's 'b (c n) h w'
+        ``latent_normalized_2Ddiffusion``, ``vit_triplane.py:1812``)."""
         cfg = self.cfg
         z = cfg.ldm_z_channels
-        mean, logvar = moments[..., :z], moments[..., z:]
-        # (B,h,w,plane,z) → (B,h,w,z,plane) → merge: plane fastest.
+        mean, logvar = moments[..., :z, :], moments[..., z:, :]
         posterior = make_gaussian(mean, logvar, soft_clamp=True)
         if sample_posterior and key is not None:
             latent = posterior.sample(key)
         else:
             latent = posterior.mode()
         B, hh, ww, _, _ = latent.shape
-        latent = jnp.transpose(latent, (0, 1, 2, 4, 3)).reshape(
-            B, hh, ww, z * 3)
+        latent = latent.reshape(B, hh, ww, z * 3)
         return latent, posterior
 
     # -- decoder ----------------------------------------------------------
 
     def decode_latent(self, latent: jax.Array) -> jax.Array:
-        """latent (B, h, w, z*3) → planes (B, 3, Hp, Wp, C)."""
+        """latent (B, h, w, z*3) → planes (B, 3, Hp, Wp, C).
+
+        Mirrors the reference exactly, including its absorbed channel
+        interleaves: the grouped ``ldm_upsample`` consumes the raw
+        z*3+p latent channels (``vit_decode_backbone``,
+        ``vit_triplane.py:1713``) and its plane-grouped output channels
+        are *viewed* as (D, plane) with plane fastest
+        (``PatchEmbedTriplane.forward``, ``vit_triplane.py:90-108``)."""
         cfg = self.cfg
         B, hh, ww, _ = latent.shape
-        z = cfg.ldm_z_channels
-        # plane-major for grouped patch conv.
-        lat = latent.reshape(B, hh, ww, z, 3)
-        lat = jnp.transpose(lat, (0, 1, 2, 4, 3)).reshape(B, hh, ww, 3 * z)
-        tok = self.ldm_upsample(lat.astype(cfg.dtype))
+        tok = self.ldm_upsample(latent.astype(cfg.dtype))
         th, tw = tok.shape[1], tok.shape[2]
         D = cfg.dit2.hidden_size
-        # (B, th, tw, 3*D) → (B, 3*L, D) with plane-major token order
-        tok = tok.reshape(B, th * tw, 3, D)
-        tok = jnp.transpose(tok, (0, 2, 1, 3)).reshape(B, 3 * th * tw, D)
+        # (B, th, tw, 3*D) channels viewed (D, 3) → plane-major tokens
+        tok = tok.reshape(B, th * tw, D, 3)
+        tok = jnp.transpose(tok, (0, 3, 1, 2)).reshape(B, 3 * th * tw, D)
 
         tok = self.dit2(tok)  # (B, 3L, D)
 

@@ -203,6 +203,135 @@ class TriplaneViTDecoder(nn.Module):
         return x
 
 
+# ---------------------------------------------------------------------------
+# released ShapeNet/FFHQ decoder: DINOv2 blocks fused in pairs with a
+# 3D-aware row/column cross-attention (fusionv4/v5 family)
+# ---------------------------------------------------------------------------
+
+class XYGridCrossAttention(nn.Module):
+    """3D-aware cross-plane attention (reference
+    ``xformer_Conv3D_Aware_CrossAttention_xygrid``,
+    ``vit/vision_transformer.py:300-430``): each plane-i token at grid
+    (row a, col b) attends to row a of plane (i+1)%3 concatenated with
+    column b of plane (i+2)%3 — 2p context tokens per query.  Separate
+    ``wq`` / ``w_kv`` projections (initialized from the DINO qkv in the
+    reference; the converter carries the trained split weights)."""
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, n, N, C = x.shape
+        p = int(N**0.5)
+        hd = C // self.num_heads
+        planes = x.reshape(B, n, p, p, C)
+
+        ctxs = []
+        for i in range(3):
+            # row a of plane (i+1)%3, constant in b: (B, p(a), p(k), C)
+            rows = planes[:, (i + 1) % 3]
+            rows = jnp.broadcast_to(rows[:, :, None], (B, p, p, p, C))
+            # column b of plane (i+2)%3, constant in a: (B, p(a), p(b), p(k), C)
+            cols = jnp.transpose(planes[:, (i + 2) % 3], (0, 2, 1, 3))
+            cols = jnp.broadcast_to(cols[:, None], (B, p, p, p, C))
+            ctxs.append(jnp.concatenate([rows, cols], axis=3))
+        ctx = jnp.stack(ctxs, axis=1).reshape(B * n * N, 2 * p, C)
+
+        q = nn.Dense(C, dtype=self.dtype, name='wq')(
+            x.reshape(B * n * N, 1, C))
+        kv = nn.Dense(2 * C, dtype=self.dtype, name='w_kv')(ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+        out = jax.nn.dot_product_attention(
+            q.reshape(-1, 1, self.num_heads, hd),
+            k.reshape(-1, 2 * p, self.num_heads, hd),
+            v.reshape(-1, 2 * p, self.num_heads, hd))
+        out = out.reshape(B, n, N, C)
+        return nn.Dense(C, dtype=self.dtype, name='proj')(out)
+
+
+class DinoFusionBlock(nn.Module):
+    """Fusion of two DINOv2 blocks (reference
+    ``TriplaneFusionBlockv4_nested_init_from_dino``,
+    ``vit/vision_transformer.py:2062-2143``): block 0 is a stock DINOv2
+    block (per-plane self-attention); block 1's attention is replaced by
+    a residual-wrapped ``XYGridCrossAttention`` (inner norm + residual —
+    ``Conv3DCrossAttentionBlock.forward:1681``), so the composition is
+
+        h  = norm1(x);  a3 = h + xygrid(attn3d_norm(h))
+        x  = x + ls1 * a3;  x = x + ls2 * mlp(norm2(x))
+    """
+    num_heads: int
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, n, N, C = x.shape
+        h = x.reshape(B * n, N, C)
+        h = ViTBlock(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                     layerscale=True, exact_gelu=True, name='blk0')(h)
+
+        g1 = self.param('gamma1', nn.initializers.constant(1e-5), (C,))
+        g2 = self.param('gamma2', nn.initializers.constant(1e-5), (C,))
+        hn = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(h)
+        hn3 = hn.reshape(B, n, N, C)
+        a3 = hn3 + XYGridCrossAttention(self.num_heads, dtype=self.dtype,
+                                        name='attn3d')(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         name='attn3d_norm')(hn3))
+        h = h + g1 * a3.reshape(B * n, N, C)
+        hn = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm2')(h)
+        h = h + g2 * GeluMLP(self.mlp_ratio, dtype=self.dtype,
+                             exact_gelu=True, name='mlp')(hn)
+        return h.reshape(B, n, N, C)
+
+
+class DinoFusionDecoder(nn.Module):
+    """ViT-triplane decoder backbone of the released ShapeNet/FFHQ VAEs:
+    DINOv2 blocks paired into fusion blocks with uvit long skips on the
+    second half (reference ``forward_vit_decoder``
+    ``vit/vit_triplane.py:1076-1120`` + ``create_uvit_arch:313``).
+
+    Input/output tokens (B, 3L, D), plane-major."""
+    depth: int = 6                 # fusion blocks (= dino_depth // 2)
+    num_heads: int = 12
+    tokens_per_plane: int = 256
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, L3, D = x.shape
+        L = L3 // 3
+        p = int(L**0.5)
+        pos = self.param(
+            'pos_embed',
+            lambda key, shape: jnp.asarray(
+                get_2d_sincos_pos_embed(D, (3 * p, p))).reshape(shape),
+            (1, L3, D))
+        x = x + pos.astype(x.dtype)
+        x = x.reshape(B, 3, L, D)
+
+        half = self.depth // 2
+        blocks = [DinoFusionBlock(self.num_heads, self.mlp_ratio,
+                                  dtype=self.dtype, name=f'block_{i}')
+                  for i in range(self.depth)]
+        skips = [x]
+        for blk in blocks[:half - 1]:
+            x = blk(x)
+            skips.append(x)
+        x = blocks[half - 1](x)
+        for i, blk in enumerate(blocks[half:]):
+            skip = skips.pop()
+            x = x + nn.Dense(D, dtype=self.dtype,
+                             kernel_init=nn.initializers.zeros,
+                             name=f'skip_linear_{half + i}')(
+                jnp.concatenate([x, skip], axis=-1))
+            x = blk(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm')(x)
+        return x.reshape(B, L3, D)
+
+
 def unpatchify_triplane(x: jax.Array, patch_size: int,
                         out_channels: int) -> jax.Array:
     """(B, 3, L, p*p*C) tokens → (B, 3, H, W, C) planes (reference

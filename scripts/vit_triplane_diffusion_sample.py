@@ -54,8 +54,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ln3diff_tpu.config import denoiser_preset, vae_preset, \
-        RENDER_PRESETS
+    from ln3diff_tpu.config import build_vae, denoiser_preset, \
+        vae_preset, RENDER_PRESETS
     from ln3diff_tpu.conditioning.clip import (CLIPTextModel,
                                                SimpleCLIPTokenizer)
     from ln3diff_tpu.diffusion.gaussian import make_diffusion
@@ -79,7 +79,7 @@ def main():
     else:
         denoiser = DiT_TriLatent(den_cfg)
     vae_cfg = vae_preset(args.vae)
-    vae = TriplaneVAE(vae_cfg)
+    vae = build_vae(vae_cfg)
     text_model = CLIPTextModel()
     tokenizer = SimpleCLIPTokenizer()
 
@@ -90,7 +90,10 @@ def main():
     den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0, t0,
                                       init_ctx)
 
-    render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
+    render_opts = RENDER_PRESETS[
+        'shapenet_tuneray_aug_resolution_64_64_nearestSR'
+        if args.vae == 'shapenet' else 'ffhq' if args.vae == 'ffhq'
+        else 'objverse_tuneray_aug_resolution_64_64_auto']
     latent0 = jnp.zeros((1, vae_cfg.latent_size, vae_cfg.latent_size,
                          vae_cfg.latent_channels))
     cam0 = jnp.zeros((1, 25)).at[:, 0].set(1).at[:, 5].set(1) \

@@ -90,6 +90,180 @@ class TestDiTDenoiserParity:
             atol=1e-6)
 
 
+class TestMVEncoderParity:
+
+    def test_mv_encoder_dynamic(self):
+        """Objaverse release encoder: MVEncoderGSDynamicInp — SD conv
+        encoder with mv-vanilla (SpatialTransformer3D) mid attention and
+        mean-pool view fusion (``ldm/modules/diffusionmodules/model.py:
+        603-624``, built at ``nsr/script_util.py:1294-1338``)."""
+        torch = _torch()
+        from ldm.modules.diffusionmodules.model import MVEncoderGSDynamicInp
+
+        V, B = 8, 2
+        ref = MVEncoderGSDynamicInp(
+            ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+            attn_resolutions=[], in_channels=10, resolution=32,
+            z_channels=6, double_z=True, num_frames=V,
+            attn_kwargs={'n_heads': 2, 'd_head': 8}, dropout=0.0).eval()
+        with torch.no_grad():
+            for q in ref.parameters():
+                q.copy_(torch.randn_like(q) * 0.05)
+        sd = ref.state_dict()
+
+        from ln3diff_tpu.conditioning.convert_ln3diff import \
+            convert_sd_encoder
+        from ln3diff_tpu.models.sd_vae import (AutoencoderConfig,
+                                               MVEncoderDynamic)
+
+        cfg = AutoencoderConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                                attn_resolutions=(), resolution=32,
+                                z_channels=6, double_z=True, attn_heads=2,
+                                attn_dim_head=8, dtype=jnp.float32)
+        ours = MVEncoderDynamic(cfg, num_frames=V)
+
+        x = torch.randn(B * V, 10, 32, 32)
+        with torch.no_grad():
+            ref_out = ref(x).numpy()
+
+        x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        ours.init(jax.random.PRNGKey(0), x_j)
+        params = {'encoder': convert_sd_encoder(
+            sd, ch_mult=(1, 2), num_res_blocks=1, mv=True)}
+        got = np.asarray(ours.apply({'params': params}, x_j))
+        got = got.transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, ref_out, rtol=2e-4, atol=2e-4)
+
+
+class TestDecodeLatentParity:
+
+    def test_decode_latent_chain(self):
+        """Full VAE decode path: latent → PatchEmbedTriplane →
+        DiT2 → unflatten → SD Decoder conv_sr → planes, chained exactly
+        as the reference release class does (``vit_decode_backbone``
+        ``vit/vit_triplane.py:1702-1718`` + ``vit_decode_postprocess``
+        ``:1720-1784``, ``D_roll_out_input=False``) — this exercises the
+        reference's absorbed channel interleaves end-to-end."""
+        torch = _torch()
+        from vit.vit_triplane import PatchEmbedTriplane
+        from dit.dit_decoder import DiT2 as RefDiT2
+        from ldm.modules.diffusionmodules.model import Decoder as RefDecoder
+        from einops import rearrange
+
+        B, z, hh, D, depth, L = 2, 4, 8, 128, 4, 16
+
+        pe = PatchEmbedTriplane(img_size=hh, patch_size=2, in_chans=3 * z,
+                                embed_dim=D).eval()
+        dit2 = RefDiT2(input_size=16, patch_size=2, in_channels=4,
+                       hidden_size=D, depth=depth, num_heads=4,
+                       num_classes=0, learn_sigma=False,
+                       mixed_prediction=False, context_dim=None,
+                       roll_out=True, plane_n=3).eval()
+        dit2.pos_embed = torch.nn.Parameter(torch.randn(1, 3 * L, D) * 0.02)
+        dec = RefDecoder(ch=32, out_ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                         attn_resolutions=[], in_channels=3, resolution=8,
+                         z_channels=D).eval()
+        with torch.no_grad():
+            for m in (pe, dit2, dec):
+                for q in m.parameters():
+                    q.copy_(torch.randn_like(q) * 0.05)
+
+        latent = torch.randn(B, 3 * z, hh, hh)
+        with torch.no_grad():
+            tok = pe(latent)                       # B 3L D
+            tok = dit2(tok)                        # B 3L D
+            x = tok.reshape(B, 3, L, D)
+            h = w = int(L**0.5)
+            x = x.reshape(B, 3, h, w, D)
+            x = rearrange(x, 'b n h w c->(b n) c h w')
+            planes = dec(x)                        # (B*3) 32 8 8
+            ref_planes = rearrange(planes, '(b n) c h w->b n h w c',
+                                   n=3).numpy()
+
+        import dataclasses as dc
+        from ln3diff_tpu.conditioning.convert_ln3diff import (
+            convert_dit2, convert_sd_decoder)
+        from ln3diff_tpu.conditioning.convert import conv2d
+        from ln3diff_tpu.models.dit import DiT2Config
+        from ln3diff_tpu.models.vae import TriplaneVAE, TriplaneVAEConfig
+
+        cfg = TriplaneVAEConfig(
+            ldm_z_channels=z, latent_size=hh, patch_size=2,
+            dit2=DiT2Config(tokens_per_plane=L, hidden_size=D, depth=depth,
+                            num_heads=4, roll_out=True, dtype=jnp.float32),
+            conv_sr_ch=32, conv_sr_ch_mult=(1, 2), conv_sr_res_blocks=1,
+            plane_channels=32, dtype=jnp.float32)
+        vae = TriplaneVAE(cfg)
+
+        lat_j = jnp.asarray(latent.numpy().transpose(0, 2, 3, 1))
+        variables = vae.init(jax.random.PRNGKey(0), lat_j,
+                             method=vae.decode_latent)
+        params = dict(variables['params'])
+        params['ldm_upsample'] = conv2d(pe.state_dict(), 'proj')
+        params['dit2'] = convert_dit2(dit2.state_dict(), depth=depth)
+        params['conv_sr'] = convert_sd_decoder(dec.state_dict(),
+                                               ch_mult=(1, 2),
+                                               num_res_blocks=1)
+        got = np.asarray(vae.apply({'params': params}, lat_j,
+                                   method=vae.decode_latent))
+        np.testing.assert_allclose(got, ref_planes, rtol=2e-4, atol=2e-4)
+
+
+class TestUNetParity:
+
+    def test_unet_roll_out_spatial_transformer(self):
+        """Released ShapeNet/FFHQ denoiser shape: LDM U-Net with GEGLU
+        spatial transformers, conv down/upsample (resblock_updown=False),
+        roll_out triplane mode and the LSGM mixing_logit."""
+        torch = _torch()
+        from guided_diffusion.unet import UNetModel as RefUNet
+
+        ref = RefUNet(image_size=8, in_channels=4, model_channels=32,
+                      out_channels=4, num_res_blocks=1,
+                      attention_resolutions=(2,), channel_mult=(1, 2),
+                      num_heads=4, use_spatial_transformer=True,
+                      transformer_depth=1, context_dim=16,
+                      use_scale_shift_norm=True, resblock_updown=False,
+                      mixed_prediction=True, roll_out=True,
+                      legacy=True).eval()
+        # randomize so zero-init projections don't mask mismatches
+        with torch.no_grad():
+            for q in ref.parameters():
+                q.copy_(torch.randn_like(q) * 0.05)
+        sd = ref.state_dict()
+
+        from ln3diff_tpu.conditioning.convert_ln3diff import convert_unet
+        from ln3diff_tpu.models.unet import UNetConfig, UNetModel
+
+        cfg = UNetConfig(in_channels=4, model_channels=32, out_channels=4,
+                         num_res_blocks=1, attention_resolutions=(2,),
+                         channel_mult=(1, 2), num_heads=4,
+                         use_spatial_transformer=True, context_dim=16,
+                         use_scale_shift_norm=True, resblock_updown=False,
+                         roll_out=True, mixed_prediction=True,
+                         dtype=jnp.float32)
+        ours = UNetModel(cfg)
+
+        B = 2
+        x = torch.randn(B, 12, 8, 8)
+        t = torch.tensor([3.0, 250.0])
+        context = torch.randn(B, 7, 16)
+        with torch.no_grad():
+            ref_out = ref(x, timesteps=t, context=context).numpy()
+
+        x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        ours.init(jax.random.PRNGKey(0), x_j, jnp.asarray(t.numpy()),
+                  {'crossattn': jnp.asarray(context.numpy())})
+        params = convert_unet(sd, cfg)
+        got = ours.apply({'params': params}, x_j, jnp.asarray(t.numpy()),
+                         {'crossattn': jnp.asarray(context.numpy())})
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, ref_out, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(params['mixing_logit']).reshape(-1),
+            ref.mixing_logit.detach().numpy().reshape(-1), atol=1e-6)
+
+
 class TestDiT2DecoderParity:
 
     def test_dit2_roll_out(self):
