@@ -449,12 +449,30 @@ def convert_dino_fusion_block(sd: Mapping, p: str) -> dict:
     }
 
 
+def convert_dino_fusion_block_v3(sd: Mapping, p: str) -> dict:
+    """Reference ``TriplaneFusionBlockv3`` (FFHQ decoder block,
+    ``vit/vision_transformer.py:1940-1953``): both DINOv2 blocks intact,
+    plus one residual xygrid fusion attention."""
+    return {
+        'blk0': _dinov2_block(sd, f'{p}.vit_blks.0'),
+        'blk1': _dinov2_block(sd, f'{p}.vit_blks.1'),
+        'attn3d_norm': layer_norm(sd, f'{p}.fusion.norm1'),
+        'attn3d': {'wq': linear(sd, f'{p}.fusion.attn.wq'),
+                   'w_kv': linear(sd, f'{p}.fusion.attn.w_kv'),
+                   'proj': linear(sd, f'{p}.fusion.attn.proj')},
+    }
+
+
 def convert_dino_fusion_decoder(sd: Mapping, depth: int = 6,
-                                prefix: str = '') -> dict:
-    """Fused vit_decoder of the fusionv5 family: ``blocks.{g}`` fusion
-    blocks (+ ``skip_linear`` on the second half, ``create_uvit_arch``
-    ``vit/vit_triplane.py:313``), replaced ``pos_embed``, final norm."""
+                                prefix: str = '',
+                                variant: str = 'v4') -> dict:
+    """Fused vit_decoder of the fusionv5/4XC families: ``blocks.{g}``
+    fusion blocks (+ ``skip_linear`` on the second half,
+    ``create_uvit_arch`` ``vit/vit_triplane.py:313``), replaced
+    ``pos_embed``, final norm."""
     p = prefix
+    blk = (convert_dino_fusion_block_v3 if variant == 'v3'
+           else convert_dino_fusion_block)
     out: dict = {
         'pos_embed': _np(sd[f'{p}pos_embed']).reshape(1, -1,
                                                       _np(sd[f'{p}pos_embed']
@@ -462,7 +480,7 @@ def convert_dino_fusion_decoder(sd: Mapping, depth: int = 6,
         'norm': layer_norm(sd, f'{p}norm'),
     }
     for g in range(depth):
-        out[f'block_{g}'] = convert_dino_fusion_block(sd, f'{p}blocks.{g}')
+        out[f'block_{g}'] = blk(sd, f'{p}blocks.{g}')
         if f'{p}blocks.{g}.skip_linear.weight' in sd:
             out[f'skip_linear_{g}'] = linear(sd,
                                              f'{p}blocks.{g}.skip_linear')
@@ -502,6 +520,34 @@ def convert_nearest_conv_sr(sd: Mapping, prefix: str = '') -> dict:
     return out
 
 
+def _sg2_layer(sd: Mapping, p: str, torgb: bool = False) -> dict:
+    """StyleGAN2 SynthesisLayer / ToRGBLayer → our SG2 modules."""
+    out = {
+        'affine': {'kernel': _np(sd[f'{p}.affine.weight']).T,
+                   'bias': _np(sd[f'{p}.affine.bias'])},
+        'weight': _np(sd[f'{p}.weight']).transpose(2, 3, 1, 0),
+        'bias': _np(sd[f'{p}.bias']),
+    }
+    if not torgb and f'{p}.noise_strength' in sd:
+        out['noise_strength'] = _np(sd[f'{p}.noise_strength'])
+        out['noise_const'] = _np(sd[f'{p}.noise_const'])
+    return out
+
+
+def convert_sr_hybrid_8xdc(sd: Mapping, prefix: str = '') -> dict:
+    """Reference ``SuperresolutionHybrid8XDC`` (``nsr/superresolution.py:
+    384-446``) → our params: two skip SynthesisBlocks."""
+    p = prefix
+    out: dict = {}
+    for b in ('block0', 'block1'):
+        out[b] = {
+            'conv0': _sg2_layer(sd, f'{p}{b}.conv0'),
+            'conv1': _sg2_layer(sd, f'{p}{b}.conv1'),
+            'torgb': _sg2_layer(sd, f'{p}{b}.torgb', torgb=True),
+        }
+    return out
+
+
 def convert_vae_shapenet(sd: Mapping, fusion_depth: int = 6,
                          encoder_depth: int = 12, prefix: str = '') -> dict:
     """Reference ShapeNet release ``rec_model`` state dict (fusionv5) →
@@ -526,6 +572,42 @@ def convert_vae_shapenet(sd: Mapping, fusion_depth: int = 6,
     sr_prefix = f'{p}decoder.triplane_decoder.superresolution.'
     if f'{sr_prefix}conv_after_body.weight' in sd:
         out['superresolution'] = convert_nearest_conv_sr(sd, sr_prefix)
+    return out
+
+
+def convert_vae_ffhq(sd: Mapping, fusion_depth: int = 6,
+                     encoder_depth: int = 12, prefix: str = '') -> dict:
+    """Reference FFHQ release ``rec_model`` state dict (4XC_final,
+    ``vit/vit_triplane.py:516``) → our ``FFHQVAE`` param tree.
+
+    The upstream encode path is dead code (see ``FFHQVAE`` docstring);
+    its vestigial ``quant_conv`` is converted only when the stored
+    shapes match our grouped 24→24 conv."""
+    p = prefix
+    out = {
+        'encoder': convert_hub_dinov2(sd, encoder_depth,
+                                      prefix=f'{p}encoder.'),
+        'ldm_downsample': linear(
+            sd, f'{p}decoder.superresolution.ldm_downsample'),
+        'ldm_upsample': linear(
+            sd, f'{p}decoder.superresolution.ldm_upsample'),
+        'fusion_decoder': convert_dino_fusion_decoder(
+            sd, fusion_depth, prefix=f'{p}decoder.vit_decoder.',
+            variant='v3'),
+        'decoder_pred': linear(sd, f'{p}decoder.decoder_pred'),
+        'conv_sr': convert_rodin_sr(
+            sd, prefix=f'{p}decoder.superresolution.conv_sr.'),
+        'osg_decoder': convert_osg_decoder(
+            sd, prefix=f'{p}decoder.triplane_decoder.decoder.net'),
+        'superresolution': convert_sr_hybrid_8xdc(
+            sd, prefix=f'{p}decoder.triplane_decoder.superresolution.'),
+    }
+    if f'{p}decoder.w_avg' in sd:
+        out['sr_ws'] = _np(sd[f'{p}decoder.w_avg'])
+    qk = f'{p}decoder.superresolution.quant_conv.weight'
+    if qk in sd and _np(sd[qk]).shape[0] == 24:
+        out['quant_conv'] = conv2d(sd,
+                                   f'{p}decoder.superresolution.quant_conv')
     return out
 
 

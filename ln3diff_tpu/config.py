@@ -104,10 +104,24 @@ def vae_preset(name: str = 'objaverse', dtype=jnp.bfloat16
             plane_channels=32, triplane_resolution=256,
             decoder_output_dim=32, use_sr=True, sr_ratio=2, dtype=dtype)
     if name == 'ffhq':
-        # FFHQ 3D-aware faces (BASELINE config[2]): single-view RGB in,
-        # fg/bg channel-split planes + NeRF++ background (reference
-        # ``Triplane_fg_bg_plane``), StyleGAN-modulated 4x SR head
-        # (``SuperresolutionHybrid8XDC`` → render 64² → 256²).
+        # released arch (sample_ffhq_t23d.sh: --ae_classname
+        # VAE_LDM_V4_vit3D_..._4XC_final, vit/vit_triplane.py:516):
+        # DINOv2-S/14 encoder, per-token Linear ldm_upsample (latent
+        # 16x16x12), v3 fusion decoder, non-lite RodinConv 4X SR, plain
+        # Triplane render at 128² + SuperresolutionHybrid8XDC → 512².
+        from .models.vae_shapenet import FFHQVAEConfig
+        from .models.vit import vit_registry
+        return FFHQVAEConfig(
+            encoder_vit=vit_registry('dinov2-s/14', img_size=224,
+                                     dtype=dtype),
+            ldm_z_channels=4, vae_p=1, token_size=16,
+            decoder_embed_dim=768, decoder_fusion_depth=6,
+            decoder_num_heads=12, channel_multiplier=4, unpatchify_p=4,
+            plane_channels=32, triplane_resolution=256,
+            decoder_output_dim=32, dtype=dtype)
+    if name == 'ffhq-fgbg':
+        # fg/bg split capability config (reference Triplane_fg_bg_plane,
+        # present upstream but not on the released FFHQ path)
         dit2 = dit2_registry('DiT2-B/2', tokens_per_plane=256, dtype=dtype)
         return TriplaneVAEConfig(
             encoder_in_channels=3, encoder_ch=64,
@@ -125,9 +139,12 @@ def vae_preset(name: str = 'objaverse', dtype=jnp.bfloat16
 def build_vae(cfg):
     """Instantiate the right VAE module for a preset config
     (``TriplaneVAEConfig`` → ``TriplaneVAE``; ``ShapeNetVAEConfig`` →
-    ``ShapeNetVAE``)."""
+    ``ShapeNetVAE``; ``FFHQVAEConfig`` → ``FFHQVAE``)."""
     from .models.vae import TriplaneVAE
-    from .models.vae_shapenet import ShapeNetVAE, ShapeNetVAEConfig
+    from .models.vae_shapenet import (FFHQVAE, FFHQVAEConfig, ShapeNetVAE,
+                                      ShapeNetVAEConfig)
+    if isinstance(cfg, FFHQVAEConfig):
+        return FFHQVAE(cfg)
     if isinstance(cfg, ShapeNetVAEConfig):
         return ShapeNetVAE(cfg)
     return TriplaneVAE(cfg)

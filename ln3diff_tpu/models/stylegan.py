@@ -108,9 +108,14 @@ def modulated_conv2d(x: jax.Array, weight: jax.Array, styles: jax.Array,
                      demodulate: bool = True, up: int = 1,
                      f: Optional[jax.Array] = None) -> jax.Array:
     """Style-modulated conv (reference ``networks_stylegan2.py``
-    ``modulated_conv2d``), grouped-batch formulation.
+    ``modulated_conv2d`` + ``conv2d_resample`` up-path), grouped-batch
+    formulation.
 
     x: (B, H, W, Cin); weight: (kh, kw, Cin, Cout); styles: (B, Cin).
+
+    ``up=2`` reproduces the reference exactly (verified vs
+    ``conv2d_resample(up=2, padding=k//2)``): input-dilated *flipped*
+    convolution followed by the FIR filter with gain up².
     """
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape
@@ -120,17 +125,27 @@ def modulated_conv2d(x: jax.Array, weight: jax.Array, styles: jax.Array,
         d = jax.lax.rsqrt(jnp.sum(w**2, axis=(1, 2, 3)) + 1e-8)  # (B, Co)
         w = w * d[:, None, None, None, :]
 
-    if up > 1:
-        x = upsample2d(x, f if f is not None else setup_filter(), up=up)
-
     # grouped conv: fold batch into channels (group b = sample b)
-    x = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, x.shape[1], x.shape[2],
-                                               B * Cin)
+    xg = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, H, W, B * Cin)
     # HWIO grouped kernel: (kh, kw, Cin_per_group, B*Cout) with the output
     # channel axis ordered (B major, Cout minor).
-    w = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(kh, kw, Cin, B * Cout)
+    if up > 1:
+        w = w[:, ::-1, ::-1]    # true convolution on the transpose path
+    wg = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(kh, kw, Cin, B * Cout)
+
+    if up > 1:
+        assert up == 2 and kh == kw == 3
+        out = jax.lax.conv_general_dilated(
+            xg, wg, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(up, up),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            feature_group_count=B)
+        out = out.reshape(out.shape[1], out.shape[2], B, Cout)
+        out = jnp.transpose(out, (2, 0, 1, 3))
+        return upfirdn2d(out, f if f is not None else setup_filter(),
+                         padding=(1, 1, 1, 1), gain=float(up * up))
+
     out = jax.lax.conv_general_dilated(
-        x, w, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        xg, wg, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=B)
     out = out.reshape(out.shape[1], out.shape[2], B, Cout)
     return jnp.transpose(out, (2, 0, 1, 3))
@@ -202,6 +217,105 @@ class SuperresolutionHybrid(nn.Module):
 # ---------------------------------------------------------------------------
 # discriminator
 # ---------------------------------------------------------------------------
+
+class SynthesisLayerSG2(nn.Module):
+    """Exact StyleGAN2 ``SynthesisLayer`` (``nsr/networks_stylegan2.py:
+    343-427``): affine style, modulated conv (optional 2x up with FIR),
+    optional const noise, bias + lrelu(gain √2) + clamp."""
+    out_channels: int
+    resolution: int               # output resolution (noise_const shape)
+    up: int = 1
+    kernel: int = 3
+    conv_clamp: Optional[float] = 256.0
+    use_noise: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, w_latent, noise_mode: str = 'none'):
+        Cin = x.shape[-1]
+        styles = EqualDense(Cin, bias_init=1.0, name='affine')(w_latent)
+        weight = self.param('weight', nn.initializers.normal(1.0),
+                            (self.kernel, self.kernel, Cin,
+                             self.out_channels))
+        y = modulated_conv2d(x.astype(jnp.float32), weight, styles,
+                             up=self.up)
+        if self.use_noise:
+            strength = self.param('noise_strength', nn.initializers.zeros,
+                                  ())
+            noise_const = self.param(
+                'noise_const', nn.initializers.normal(1.0),
+                (self.resolution, self.resolution))
+            if noise_mode == 'const':
+                y = y + (noise_const * strength)[None, :, :, None]
+        b = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+        y = nn.leaky_relu(y + b, 0.2) * math.sqrt(2)
+        if self.conv_clamp is not None:
+            y = jnp.clip(y, -self.conv_clamp, self.conv_clamp)
+        return y
+
+
+class ToRGBSG2(nn.Module):
+    """Exact ``ToRGBLayer`` (``networks_stylegan2.py:432-468``): styles
+    scaled by 1/sqrt(Cin·k²), 1x1 modulated conv without demodulation."""
+    out_channels: int = 3
+    conv_clamp: Optional[float] = 256.0
+
+    @nn.compact
+    def __call__(self, x, w_latent):
+        Cin = x.shape[-1]
+        styles = EqualDense(Cin, bias_init=1.0, name='affine')(w_latent)
+        styles = styles / math.sqrt(Cin)
+        weight = self.param('weight', nn.initializers.normal(1.0),
+                            (1, 1, Cin, self.out_channels))
+        y = modulated_conv2d(x.astype(jnp.float32), weight, styles,
+                             demodulate=False)
+        b = self.param('bias', nn.initializers.zeros, (self.out_channels,))
+        y = y + b
+        if self.conv_clamp is not None:
+            y = jnp.clip(y, -self.conv_clamp, self.conv_clamp)
+        return y
+
+
+class SynthesisBlockSG2(nn.Module):
+    """Skip-architecture ``SynthesisBlock`` (``networks_stylegan2.py:
+    471-623``): conv0(up2) → conv1 → img-skip FIR upsample + ToRGB."""
+    out_channels: int
+    resolution: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, img, w_latent, noise_mode: str = 'none'):
+        x = SynthesisLayerSG2(self.out_channels, self.resolution, up=2,
+                              name='conv0')(x, w_latent, noise_mode)
+        x = SynthesisLayerSG2(self.out_channels, self.resolution,
+                              name='conv1')(x, w_latent, noise_mode)
+        if img is not None:
+            img = upsample2d(img, setup_filter(), up=2)
+        y = ToRGBSG2(name='torgb')(x, w_latent)
+        img = img + y if img is not None else y
+        return x, img
+
+
+class SuperresolutionHybrid8XDC(nn.Module):
+    """FFHQ released SR head (``nsr/superresolution.py:384-446``):
+    bilinear resize to 128 → SynthesisBlock(→256 @256) →
+    SynthesisBlock(→128 @512); returns the 512² rgb skip."""
+    noise_mode: str = 'none'      # FFHQ cfg uses 'random' in training
+
+    @nn.compact
+    def __call__(self, feature_image, rgb_image, ws):
+        x, rgb = feature_image, rgb_image
+        if x.shape[1] != 128:
+            B, H, W, C = x.shape
+            x = jax.image.resize(x, (B, 128, 128, C), 'bilinear')
+            rgb = jax.image.resize(rgb, (B, 128, 128, rgb.shape[-1]),
+                                   'bilinear')
+        x, rgb = SynthesisBlockSG2(256, 256, name='block0')(
+            x, rgb, ws, self.noise_mode)
+        x, rgb = SynthesisBlockSG2(128, 512, name='block1')(
+            x, rgb, ws, self.noise_mode)
+        return rgb
+
 
 def minibatch_stddev(x: jax.Array, group_size: int = 4) -> jax.Array:
     B, H, W, C = x.shape

@@ -140,7 +140,15 @@ class TriplaneVAE(nn.Module):
                 name='bg_decoder')
 
         if cfg.use_sr:
-            if cfg.sr_module == 'stylegan':
+            if cfg.sr_module == 'stylegan-8xdc':
+                # exact released FFHQ head (nsr/superresolution.py:384)
+                from .stylegan import SuperresolutionHybrid8XDC
+                self.superresolution = SuperresolutionHybrid8XDC()
+                # reference w_avg buffer, "replaced externally"
+                # (vit_triplane.py:149,220); converter maps it in
+                self.sr_ws = self.param('sr_ws', nn.initializers.zeros,
+                                        (512,))
+            elif cfg.sr_module == 'stylegan':
                 from .stylegan import SuperresolutionHybrid
                 self.superresolution = SuperresolutionHybrid(
                     sr_ratio=cfg.sr_ratio)
@@ -268,7 +276,7 @@ class TriplaneVAE(nn.Module):
         ret = dict(feature_image=feature_image, image_raw=rgb,
                    image_depth=depth_image, image_mask=mask_image)
         if self.cfg.use_sr and apply_sr:
-            if self.cfg.sr_module == 'stylegan':
+            if self.cfg.sr_module.startswith('stylegan'):
                 ws = jnp.broadcast_to(self.sr_ws, (B,) + self.sr_ws.shape)
                 ret['image_sr'] = self.superresolution(feature_image, rgb,
                                                        ws)

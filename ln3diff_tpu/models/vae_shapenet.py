@@ -192,3 +192,131 @@ class ShapeNetVAE(TriplaneVAE):
                           k_render)
         ret.update(latent=latent, posterior_kl=posterior.kl(), planes=planes)
         return ret
+
+
+# ---------------------------------------------------------------------------
+# FFHQ released arch (4XC_final)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FFHQVAEConfig:
+    """Released FFHQ VAE (``--ae_classname vit.vit_triplane.VAE_LDM_V4_
+    vit3D_v3_conv3D_depth2_xformer_mha_PEinit_2d_sincos_uvit_
+    RodinRollOutConv_4x4_lite_mlp_unshuffle_4XC_final``,
+    ``vit/vit_triplane.py:516-800``): DINOv2-S/14 encoder, per-token
+    Linear ldm_upsample (vae_p=1, latent 16x16x12), v3 fusion decoder,
+    non-lite RodinConv 4X SR, plain ``Triplane`` rendering at 128² and
+    ``SuperresolutionHybrid8XDC`` to 512²."""
+    encoder_vit: ViTConfig = vit_registry('dinov2-s/14')
+    ldm_z_channels: int = 4
+    vae_p: int = 1
+    token_size: int = 16
+    decoder_embed_dim: int = 768
+    decoder_fusion_depth: int = 6
+    decoder_num_heads: int = 12
+    channel_multiplier: int = 4
+    unpatchify_p: int = 4
+    plane_channels: int = 32
+    triplane_resolution: int = 256
+    decoder_output_dim: int = 32
+    use_sr: bool = True
+    sr_ratio: int = 4
+    sr_module: str = 'stylegan-8xdc'
+    use_background: bool = False   # released path uses plain Triplane
+    bg_depth_resolution: int = 16
+    lrm_decoder: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def latent_size(self) -> int:
+        return self.token_size * self.vae_p      # 16
+
+    @property
+    def latent_channels(self) -> int:
+        return 3 * self.ldm_z_channels
+
+
+class FFHQVAE(ShapeNetVAE):
+    """4XC_final; decode path mirrors the reference exactly.  The
+    upstream encode path is dead code (its ``vae_reparameterization``
+    calls a ``vae_encode`` absent from the class MRO — verified by
+    instantiation), so ``encode`` here follows the fusionv5 structure
+    (grouped quant_conv over the plane-major ldm_downsample output)."""
+    cfg: FFHQVAEConfig
+
+    def setup(self):
+        cfg = self.cfg
+        z = cfg.ldm_z_channels
+        self.encoder = VisionTransformer(
+            dataclasses.replace(cfg.encoder_vit, dtype=cfg.dtype))
+        self.ldm_downsample = nn.Dense(
+            cfg.vae_p * cfg.vae_p * 3 * z * 2, dtype=cfg.dtype,
+            name='ldm_downsample')
+        self.quant_conv = nn.Conv(2 * 3 * z, (1, 1), feature_group_count=3,
+                                  dtype=cfg.dtype, name='quant_conv')
+        # per-token Linear (reference ldm_upsample=nn.Linear,
+        # vit_triplane.py:584-587)
+        self.ldm_upsample = nn.Dense(cfg.decoder_embed_dim, dtype=cfg.dtype,
+                                     name='ldm_upsample')
+        self.fusion_decoder = DinoFusionDecoder(
+            depth=cfg.decoder_fusion_depth,
+            num_heads=cfg.decoder_num_heads,
+            tokens_per_plane=(cfg.token_size * cfg.vae_p)**2,
+            block_variant='v3', dtype=cfg.dtype)
+        self.decoder_pred = nn.Dense(
+            cfg.unpatchify_p**2 * cfg.plane_channels *
+            cfg.channel_multiplier, dtype=cfg.dtype, name='decoder_pred')
+        self.conv_sr = RodinConv3D4XResidual(
+            in_channels=3 * cfg.plane_channels * cfg.channel_multiplier,
+            out_channels=3 * cfg.plane_channels,
+            input_resolution=cfg.triplane_resolution, lite=False,
+            dtype=cfg.dtype)
+        self.osg_decoder = OSGDecoder(
+            decoder_output_dim=cfg.decoder_output_dim)
+        if cfg.use_sr:
+            from .stylegan import SuperresolutionHybrid8XDC
+            self.superresolution = SuperresolutionHybrid8XDC()
+            # the reference conditions SR on a w_avg buffer "replaced
+            # externally" (vit_triplane.py:149,220); converter maps it in
+            self.sr_ws = self.param('sr_ws', nn.initializers.zeros, (512,))
+
+    def encode(self, imgs: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        z = cfg.ldm_z_channels
+        t = cfg.token_size
+        tokens = self.encoder(imgs)
+        if cfg.encoder_vit.use_cls_token:
+            tokens = tokens[:, 1:]
+        lat = self.ldm_downsample(tokens)            # (B, t*t, 3*2z)
+        B = lat.shape[0]
+        # vae_p=1 branch (vit_triplane.py:617-622): channels (plane, 2z)
+        lat = lat.reshape(B, t, t, 3 * 2 * z)
+        moments = self.quant_conv(lat)
+        return moments.reshape(B, t, t, 2 * z, 3)
+
+    def decode_latent(self, latent: jax.Array) -> jax.Array:
+        """latent (B, 16, 16, z*3) → planes (B, 3, 256, 256, C).
+        Mirrors ``vit_decode_backbone`` (``vit_triplane.py:769-800``):
+        channel view (z, 3) → plane-major tokens of z features →
+        per-token Linear to embed_dim."""
+        cfg = self.cfg
+        B, hh, ww, _ = latent.shape
+        z = cfg.ldm_z_channels
+        tok = latent.reshape(B, hh * ww, z, 3)
+        tok = jnp.transpose(tok, (0, 3, 1, 2)).reshape(B, 3 * hh * ww, z)
+        tok = self.ldm_upsample(tok.astype(cfg.dtype))  # (B, 3L, D)
+
+        tok = self.fusion_decoder(tok)
+        lat = self.decoder_pred(tok)
+
+        p = cfg.unpatchify_p
+        C = cfg.plane_channels * cfg.channel_multiplier
+        h = w = hh
+        lat = lat.reshape(B, 3, h, w, p, p, C)
+        lat = jnp.transpose(lat, (0, 2, 4, 3, 5, 1, 6))
+        lat = lat.reshape(B, h * p, w * p, 3 * C)
+
+        planes = self.conv_sr(lat)
+        R = planes.shape[1]
+        planes = planes.reshape(B, R, R, 3, cfg.plane_channels)
+        return jnp.transpose(planes, (0, 3, 1, 2, 4))

@@ -286,17 +286,47 @@ class DinoFusionBlock(nn.Module):
         return h.reshape(B, n, N, C)
 
 
+class DinoFusionBlockV3(nn.Module):
+    """Fusion of two DINOv2 blocks, v3 flavor (reference
+    ``TriplaneFusionBlockv3`` ← ``v2.forward``,
+    ``vit/vision_transformer.py:1871-1953``): both blocks run intact
+    per-plane, then one residual xygrid cross-attention over (B,3,N,C)
+    (``Conv3DCrossAttentionBlock.forward:1681``).  The released FFHQ
+    decoder's block (4XC_final default fusion_blk,
+    ``vit/vit_triplane.py:535``)."""
+    num_heads: int
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, n, N, C = x.shape
+        h = x.reshape(B * n, N, C)
+        h = ViTBlock(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                     layerscale=True, exact_gelu=True, name='blk0')(h)
+        h = ViTBlock(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                     layerscale=True, exact_gelu=True, name='blk1')(h)
+        h = h.reshape(B, n, N, C)
+        return h + XYGridCrossAttention(self.num_heads, dtype=self.dtype,
+                                        name='attn3d')(
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         name='attn3d_norm')(h))
+
+
 class DinoFusionDecoder(nn.Module):
     """ViT-triplane decoder backbone of the released ShapeNet/FFHQ VAEs:
     DINOv2 blocks paired into fusion blocks with uvit long skips on the
     second half (reference ``forward_vit_decoder``
     ``vit/vit_triplane.py:1076-1120`` + ``create_uvit_arch:313``).
+    ``block_variant``: 'v4' = ShapeNet (attn replaced in block 1),
+    'v3' = FFHQ (blocks intact + separate fusion attention).
 
     Input/output tokens (B, 3L, D), plane-major."""
     depth: int = 6                 # fusion blocks (= dino_depth // 2)
     num_heads: int = 12
     tokens_per_plane: int = 256
     mlp_ratio: int = 4
+    block_variant: str = 'v4'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -313,8 +343,10 @@ class DinoFusionDecoder(nn.Module):
         x = x.reshape(B, 3, L, D)
 
         half = self.depth // 2
-        blocks = [DinoFusionBlock(self.num_heads, self.mlp_ratio,
-                                  dtype=self.dtype, name=f'block_{i}')
+        blk_cls = (DinoFusionBlockV3 if self.block_variant == 'v3'
+                   else DinoFusionBlock)
+        blocks = [blk_cls(self.num_heads, self.mlp_ratio,
+                          dtype=self.dtype, name=f'block_{i}')
                   for i in range(self.depth)]
         skips = [x]
         for blk in blocks[:half - 1]:

@@ -72,7 +72,12 @@ class TestFFHQVAE:
 
     def test_ffhq_preset_shapes(self):
         from ln3diff_tpu.config import vae_preset
-        cfg = vae_preset('ffhq')
-        assert cfg.use_background and cfg.sr_module == 'stylegan'
-        assert cfg.plane_channels == 64 and cfg.sr_ratio == 4
-        assert cfg.num_views == 0
+        from ln3diff_tpu.models.vae_shapenet import FFHQVAEConfig
+        cfg = vae_preset('ffhq')     # released 4XC_final arch
+        assert isinstance(cfg, FFHQVAEConfig)
+        assert cfg.latent_size == 16 and cfg.latent_channels == 12
+        assert cfg.sr_module == 'stylegan-8xdc'
+        # fg/bg split capability kept under its own preset
+        fgbg = vae_preset('ffhq-fgbg')
+        assert fgbg.use_background and fgbg.sr_module == 'stylegan'
+        assert fgbg.plane_channels == 64 and fgbg.num_views == 0

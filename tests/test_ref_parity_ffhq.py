@@ -1,0 +1,92 @@
+"""Numeric parity for the FFHQ released SR head
+(``SuperresolutionHybrid8XDC``) against the real reference on CPU
+(StyleGAN2 ops fall back to their ``impl='ref'`` paths without CUDA).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+import ref_compat
+
+pytestmark = pytest.mark.skipif(not ref_compat.reference_available(),
+                                reason='reference repo not present')
+
+import jax
+import jax.numpy as jnp
+
+
+class TestFusionV3Parity:
+
+    def test_fusion_block_v3(self):
+        """FFHQ decoder block: TriplaneFusionBlockv3 — two intact DINOv2
+        blocks + one residual xygrid fusion attention
+        (``vit/vision_transformer.py:1940-1953``)."""
+        import torch
+        torch.manual_seed(0)
+        import torch.nn as nn
+        from test_ref_parity_shapenet import _mini_dinov2_block, _randomize
+        from vit.vision_transformer import TriplaneFusionBlockv3 as RefV3
+
+        dim, heads, p = 32, 4, 4
+        blks = nn.ModuleList([_mini_dinov2_block(dim, heads)
+                              for _ in range(2)])
+        fb = RefV3(blks, heads, dim, use_fusion_blk=True).eval()
+        _randomize(torch, fb)
+        sd = fb.state_dict()
+
+        from ln3diff_tpu.conditioning.convert_ln3diff import \
+            convert_dino_fusion_block_v3
+        from ln3diff_tpu.models.vit import DinoFusionBlockV3
+
+        ours = DinoFusionBlockV3(heads, dtype=jnp.float32)
+        x = torch.randn(1, 3, p * p, dim)
+        with torch.no_grad():
+            ref_out = fb(x).numpy()
+        x_j = jnp.asarray(x.numpy())
+        ours.init(jax.random.PRNGKey(0), x_j)
+        conv = convert_dino_fusion_block_v3(
+            {f'x.{k}': v for k, v in sd.items()}, 'x')
+        got = np.asarray(ours.apply({'params': conv}, x_j))
+        np.testing.assert_allclose(got, ref_out, rtol=2e-4, atol=2e-4)
+
+
+class TestSR8XDCParity:
+
+    def test_superresolution_hybrid_8xdc(self):
+        import torch
+        torch.manual_seed(0)
+        from nsr.superresolution import SuperresolutionHybrid8XDC as RefSR
+
+        ref = RefSR(channels=8, img_resolution=512, sr_num_fp16_res=0,
+                    sr_antialias=True).eval()
+        with torch.no_grad():
+            for q in ref.parameters():
+                q.copy_(torch.randn_like(q) * 0.05)
+        sd = ref.state_dict()
+
+        from ln3diff_tpu.conditioning.convert_ln3diff import \
+            convert_sr_hybrid_8xdc
+        from ln3diff_tpu.models.stylegan import SuperresolutionHybrid8XDC
+
+        ours = SuperresolutionHybrid8XDC(noise_mode='const')
+
+        B = 2
+        x = torch.randn(B, 8, 64, 64)
+        rgb = torch.randn(B, 3, 64, 64)
+        ws = torch.randn(B, 1, 512)
+        with torch.no_grad():
+            ref_out = ref(rgb, x, ws, noise_mode='const').numpy()
+
+        x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        rgb_j = jnp.asarray(rgb.numpy().transpose(0, 2, 3, 1))
+        ws_j = jnp.asarray(ws.numpy()[:, 0])
+        ours.init(jax.random.PRNGKey(0), x_j, rgb_j, ws_j)
+        params = convert_sr_hybrid_8xdc(sd)
+        got = np.asarray(ours.apply({'params': params}, x_j, rgb_j, ws_j))
+        got = got.transpose(0, 3, 1, 2)
+        assert got.shape == ref_out.shape == (B, 3, 512, 512)
+        np.testing.assert_allclose(got, ref_out, rtol=3e-4, atol=3e-4)
