@@ -87,10 +87,30 @@ class PostProcess:
     reso_encoder: int = 256
     reso_render: int = 128
     num_views_input: int = 4          # V views into the encoder
-    num_views_sup: int = 2            # paired supervision views
+    num_views_sup: int = 2            # paired held-out supervision views
     frame_0_as_canonical: bool = False
     append_depth: bool = True
     plucker: bool = True
+
+    def _sup_fields(self, rgb, depth, alpha, c, views):
+        imgs, depths, masks, cams, bboxes = ([] for _ in range(5))
+        for v in views:
+            imgs.append(resize_image(rgb[v], self.reso_render) * 2 - 1)
+            depths.append(resize_image(depth[v], self.reso_render))
+            m = resize_image(alpha[v].astype(np.float32), self.reso_render)
+            masks.append(m)
+            cams.append(c[v])
+            ys, xs = np.nonzero(m > 0.5)
+            if len(ys):
+                bboxes.append([ys.min(), xs.min(), ys.max() + 1,
+                               xs.max() + 1])
+            else:
+                bboxes.append([0, 0, self.reso_render, self.reso_render])
+        return (np.stack(imgs).astype(np.float32),
+                np.stack(depths).astype(np.float32),
+                np.stack(masks).astype(np.float32),
+                np.stack(cams).astype(np.float32),
+                np.asarray(bboxes, np.int32))
 
     def __call__(self, sample: dict) -> dict:
         rgb = np.asarray(sample['rgb.npy'])
@@ -106,8 +126,7 @@ class PostProcess:
             c = canonicalize_poses(c)
 
         enc_views = list(range(min(self.num_views_input, V)))
-        enc_inputs, imgs, depths, masks, cams, bboxes = ([] for _ in
-                                                         range(6))
+        enc_inputs = []
         for v in enc_views:
             rgb_e = resize_image(rgb[v], self.reso_encoder)
             dep_e = resize_image(depth[v], self.reso_encoder)
@@ -118,28 +137,30 @@ class PostProcess:
                 parts.append(plucker_embedding(c[v], self.reso_encoder))
             enc_inputs.append(np.concatenate(parts, -1).astype(np.float32))
 
-            imgs.append(resize_image(rgb[v], self.reso_render) * 2 - 1)
-            depths.append(resize_image(depth[v], self.reso_render))
-            m = resize_image(alpha[v].astype(np.float32), self.reso_render)
-            masks.append(m)
-            cams.append(c[v])
-            ys, xs = np.nonzero(m > 0.5)
-            if len(ys):
-                bboxes.append([ys.min(), xs.min(), ys.max() + 1,
-                               xs.max() + 1])
-            else:
-                bboxes.append([0, 0, self.reso_render, self.reso_render])
-
-        return {
+        imgs, depths, masks, cams, bboxes = self._sup_fields(
+            rgb, depth, alpha, c, enc_views)
+        out = {
             'img_to_encoder': np.stack(enc_inputs),
-            'img': np.stack(imgs).astype(np.float32),
-            'depth': np.stack(depths).astype(np.float32),
-            'depth_mask': np.stack(masks).astype(np.float32),
-            'c': np.stack(cams).astype(np.float32),
-            'bbox': np.asarray(bboxes, np.int32),
+            'img': imgs, 'depth': depths, 'depth_mask': masks,
+            'c': cams, 'bbox': bboxes,
             'caption': sample.get('caption.txt', ''),
             '__key__': sample.get('__key__', ''),
         }
+
+        # Paired held-out novel views (reference nv_* schema,
+        # ``paired_post_process`` g_buffer_objaverse.py:3444+): supervise
+        # views the encoder never saw.  Falls back to wrapping when the
+        # sample has no spare views.
+        if self.num_views_sup > 0:
+            held_out = [v for v in range(V) if v not in enc_views]
+            if not held_out:
+                held_out = enc_views
+            nv_views = [held_out[i % len(held_out)]
+                        for i in range(self.num_views_sup)]
+            (out['nv_img'], out['nv_depth'], out['nv_depth_mask'],
+             out['nv_c'], out['nv_bbox']) = self._sup_fields(
+                rgb, depth, alpha, c, nv_views)
+        return out
 
 
 @dataclasses.dataclass

@@ -76,12 +76,18 @@ class SyntheticScene:
 def make_multiview_batch(num_views: int = 4, resolution: int = 256,
                          render_resolution: int = 128,
                          radius_cam: float = 1.8, fov: float = 40.0,
-                         sphere_radius: float = 0.35, seed: int = 0):
-    """One instance, V posed views. Returns the reference batch dict."""
+                         sphere_radius: float = 0.35, seed: int = 0,
+                         num_views_sup: int = 0):
+    """One instance, V posed views. Returns the reference batch dict.
+
+    ``num_views_sup > 0`` additionally emits paired held-out novel views
+    (``nv_*`` fields at interleaved yaws — the reference nv schema)."""
     rng = np.random.default_rng(seed)
     scene = SyntheticScene(center=np.zeros(3) + rng.uniform(
         -0.05, 0.05, 3), radius=sphere_radius)
 
+    n_in = num_views
+    num_views = num_views + num_views_sup     # render all, split below
     yaw = rng.uniform(0, 2 * np.pi) + np.arange(num_views) \
         * (2 * np.pi / num_views)
     pitch = np.full(num_views, np.pi / 2 - 0.3)
@@ -108,32 +114,43 @@ def make_multiview_batch(num_views: int = 4, resolution: int = 256,
         cams.append(np.concatenate([cam2world[v].reshape(16),
                                     intr.reshape(9)]))
 
-    # fg bbox per view: [top, left, height_max, width_max]
+    # fg bbox per view in RENDER-resolution coords (the PostProcess
+    # convention): [top, left, bottom, right]
     bboxes = []
-    for m in masks:
+    for m in masks_lr:
         ys, xs = np.nonzero(m > 0.5)
         if len(ys) == 0:
-            bboxes.append(np.array([0, 0, resolution, resolution]))
+            bboxes.append(np.array([0, 0, render_resolution,
+                                    render_resolution]))
         else:
             bboxes.append(np.array([ys.min(), xs.min(), ys.max() + 1,
                                     xs.max() + 1]))
 
-    return {
-        'img_to_encoder': np.stack(enc_inputs).astype(np.float32),
-        'img': np.stack(imgs_lr).astype(np.float32),
-        'img_hr': np.stack(imgs).astype(np.float32),
-        'depth': np.stack(depths_lr).astype(np.float32),
-        'depth_mask': np.stack(masks_lr).astype(np.float32),
-        'c': np.stack(cams).astype(np.float32),
-        'bbox': np.stack(bboxes).astype(np.int32),
+    out = {
+        'img_to_encoder': np.stack(enc_inputs[:n_in]).astype(np.float32),
+        'img': np.stack(imgs_lr[:n_in]).astype(np.float32),
+        'img_hr': np.stack(imgs[:n_in]).astype(np.float32),
+        'depth': np.stack(depths_lr[:n_in]).astype(np.float32),
+        'depth_mask': np.stack(masks_lr[:n_in]).astype(np.float32),
+        'c': np.stack(cams[:n_in]).astype(np.float32),
+        'bbox': np.stack(bboxes[:n_in]).astype(np.int32),
     }
+    if num_views > n_in:    # held-out novel views (nv_* schema)
+        out.update({
+            'nv_img': np.stack(imgs_lr[n_in:]).astype(np.float32),
+            'nv_depth': np.stack(depths_lr[n_in:]).astype(np.float32),
+            'nv_depth_mask': np.stack(masks_lr[n_in:]).astype(np.float32),
+            'nv_c': np.stack(cams[n_in:]).astype(np.float32),
+            'nv_bbox': np.stack(bboxes[n_in:]).astype(np.int32),
+        })
+    return out
 
 
 def load_memory_data(batch_size: int, num_views: int = 4,
                      resolution: int = 256, render_resolution: int = 128,
-                     seed: int = 0):
+                     seed: int = 0, num_views_sup: int = 0):
     """Infinite iterator over a single cached instance (overfit mode)."""
     batch = make_multiview_batch(num_views, resolution, render_resolution,
-                                 seed=seed)
+                                 seed=seed, num_views_sup=num_views_sup)
     while True:
         yield batch

@@ -65,20 +65,42 @@ def create_train_state(params, tx: optax.GradientTransformation,
 def make_optimizer(lr: float, weight_decay: float = 0.01,
                    betas=(0.9, 0.999), grad_clip: Optional[float] = 0.5,
                    warmup_steps: int = 0,
-                   total_steps: Optional[int] = None) -> optax.GradientTransformation:
+                   total_steps: Optional[int] = None,
+                   lr_groups: Optional[dict] = None
+                   ) -> optax.GradientTransformation:
     """AdamW with grad clipping (the reference clips at 0.5 in AMP mode,
-    ``fp16_util.py:241``) and optional warmup/anneal."""
-    if warmup_steps or total_steps:
-        sched = optax.warmup_cosine_decay_schedule(
-            0.0, lr, warmup_steps or 1,
-            (total_steps or 10**9) - (warmup_steps or 0), end_value=lr * 0.1)
-    else:
-        sched = lr
+    ``fp16_util.py:241``) and optional warmup/anneal.
+
+    ``lr_groups`` maps top-level param-subtree names to their own
+    learning rate (the reference's per-submodule AdamW param groups,
+    e.g. ``--vit_decoder_lr``, ``nsr/train_util.py``)."""
+    def sched_for(base_lr):
+        if warmup_steps or total_steps:
+            return optax.warmup_cosine_decay_schedule(
+                0.0, base_lr, warmup_steps or 1,
+                (total_steps or 10**9) - (warmup_steps or 0),
+                end_value=base_lr * 0.1)
+        return base_lr
+
+    def adamw(base_lr):
+        return optax.adamw(sched_for(base_lr), b1=betas[0], b2=betas[1],
+                           weight_decay=weight_decay)
+
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
-    chain.append(optax.adamw(sched, b1=betas[0], b2=betas[1],
-                             weight_decay=weight_decay))
+    if lr_groups:
+        transforms = {'__base__': adamw(lr)}
+        transforms.update({k: adamw(v) for k, v in lr_groups.items()})
+
+        def label_fn(params):
+            return {k: jax.tree.map(
+                lambda _: (k if k in lr_groups else '__base__'), v)
+                for k, v in params.items()}
+
+        chain.append(optax.multi_transform(transforms, label_fn))
+    else:
+        chain.append(adamw(lr))
     return optax.chain(*chain)
 
 

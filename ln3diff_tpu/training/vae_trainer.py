@@ -45,6 +45,15 @@ class VAETrainConfig:
     patch_resolution: int = 32        # patch-ray size (reference 32-64)
     render_resolution: int = 128      # full supervision resolution
     microbatch_steps: int = 1
+    # which views the render loss supervises (reference
+    # TrainLoop3DRecNVPatch* supervises held-out nv_* views only):
+    # 'nv' = held-out novel views when the batch carries them,
+    # 'input' = encoder input views, 'both' = concatenation.
+    supervise_views: str = 'nv'
+    # per-submodule learning rates (reference AdamW param groups,
+    # nsr/train_util.py — e.g. --vit_decoder_lr): top-level param
+    # subtree name → lr.
+    lr_groups: tuple = ()
     log_interval: int = 10
     save_interval: int = 10000
     total_steps: int = 100000
@@ -98,7 +107,8 @@ class VAETrainer:
             8, jax.random.PRNGKey(0))
         params = variables.pop('params')
         tx = make_optimizer(self.cfg.lr, self.cfg.weight_decay,
-                            grad_clip=self.cfg.grad_clip)
+                            grad_clip=self.cfg.grad_clip,
+                            lr_groups=dict(self.cfg.lr_groups) or None)
         self._state = create_train_state(
             params, tx, ema_rates=(('ema', self.cfg.ema_rate),),
             constants=variables)
@@ -116,38 +126,53 @@ class VAETrainer:
         variables = {'params': params, **(constants or {})}
 
         imgs = batch['img_to_encoder']        # (B*V, H, W, 10)
-        cams = batch['c']                     # (B*V, 25)
-        h0 = batch['patch_h']                 # (B*V,) patch origins in
-        w0 = batch['patch_w']                 # render-resolution coords
 
         moments = model.apply(variables, imgs, method=model.encode)
         latent, posterior = model.apply(
             variables, moments, k_vae, True, method=model.reparameterize)
         planes = model.apply(variables, latent, method=model.decode_latent)
-
-        # All V views render from the shared instance latent: repeat planes
-        # per view (novel-view "roll" supervision).
-        BV = cams.shape[0]
         B = planes.shape[0]
-        V = BV // B
-        planes_v = jnp.repeat(planes, V, axis=0)
 
-        cam2world, intrinsics = unpack_25d_camera(cams)
-        ray_o, ray_d = sample_patch_rays(cam2world, intrinsics, h0, w0,
-                                         patch, cfg.render_resolution)
-        pred = model.apply(variables, planes_v, None, opts, patch, k_render,
-                           ray_origins=ray_o, ray_directions=ray_d,
-                           method=model.render)
+        # Supervision views: held-out novel views when the batch carries
+        # the paired nv_* schema (reference train_nv_util.py:675-860 —
+        # the rendered views are never the encoder's inputs), else the
+        # input views back from the pooled latent.
+        use_nv = 'nv_c' in batch and cfg.supervise_views != 'input'
+        sources = []
+        if use_nv:
+            sources.append('nv_')
+        if not use_nv or cfg.supervise_views == 'both':
+            sources.append('')
 
-        target = {
-            'img': _crop(batch['img'], h0, w0, patch),
-            'depth': _crop(batch['depth'][..., None], h0, w0, patch),
-            'depth_mask': _crop(batch['depth_mask'][..., None], h0, w0,
-                                patch),
-        }
+        def render_and_target(prefix):
+            cams = batch[f'{prefix}c']
+            h0 = batch[f'{prefix}patch_h']
+            w0 = batch[f'{prefix}patch_w']
+            n = cams.shape[0] // B
+            planes_v = jnp.repeat(planes, n, axis=0)
+            cam2world, intrinsics = unpack_25d_camera(cams)
+            ray_o, ray_d = sample_patch_rays(cam2world, intrinsics, h0, w0,
+                                             patch, cfg.render_resolution)
+            pred = model.apply(variables, planes_v, None, opts, patch,
+                               k_render, ray_origins=ray_o,
+                               ray_directions=ray_d, method=model.render)
+            target = {
+                'img': _crop(batch[f'{prefix}img'], h0, w0, patch),
+                'depth': _crop(batch[f'{prefix}depth'][..., None], h0, w0,
+                               patch),
+                'depth_mask': _crop(batch[f'{prefix}depth_mask'][..., None],
+                                    h0, w0, patch),
+            }
+            return pred, target
+
+        preds, targets = zip(*(render_and_target(p) for p in sources))
+        pred = {k: jnp.concatenate([p[k] for p in preds])
+                for k in preds[0]}
+        target = {k: jnp.concatenate([t[k] for t in targets])
+                  for k in targets[0]}
         total, terms = reconstruction_losses(
             pred, target, self.loss_cfg, kl=posterior.kl(),
-            step=None, lpips_fn=self.lpips_fn)
+            step=batch.get('step'), lpips_fn=self.lpips_fn)
         if self.adversarial is not None:
             g_adv = self.adversarial.generator_loss(pred['image_raw'])
             total = total + g_adv
@@ -192,20 +217,25 @@ class VAETrainer:
     # -- host-side batch prep ---------------------------------------------
 
     def prepare_batch(self, raw: dict) -> dict:
-        """Sample fg-biased patch origins (host RNG → static shapes)."""
+        """Sample fg-biased patch origins (host RNG → static shapes) for
+        the input views and, when present, the paired nv_* views."""
         cfg = self.cfg
-        n = raw['c'].shape[0]
-        # bbox is in encoder-resolution coords; rescale to render res.
-        bbox = raw.get('bbox')
-        if bbox is not None:
-            scale = cfg.render_resolution / self.model_cfg.img_resolution
-            bbox = (bbox * scale).astype(np.int32)
-        h0, w0 = sample_patch_origins(self.rng, n, cfg.patch_resolution,
-                                      cfg.render_resolution, bbox)
-        out = {k: jnp.asarray(v) for k, v in raw.items()
-               if k in ('img_to_encoder', 'img', 'depth', 'depth_mask', 'c')}
-        out['patch_h'] = jnp.asarray(h0)
-        out['patch_w'] = jnp.asarray(w0)
+        keep = ('img_to_encoder', 'img', 'depth', 'depth_mask', 'c',
+                'nv_img', 'nv_depth', 'nv_depth_mask', 'nv_c')
+        out = {k: jnp.asarray(v) for k, v in raw.items() if k in keep}
+        for prefix in ('', 'nv_'):
+            if f'{prefix}c' not in raw:
+                continue
+            n = raw[f'{prefix}c'].shape[0]
+            # bbox convention: render-resolution coords (PostProcess /
+            # make_multiview_batch both emit these).
+            bbox = raw.get(f'{prefix}bbox')
+            if bbox is not None:
+                bbox = np.asarray(bbox, np.int32)
+            h0, w0 = sample_patch_origins(self.rng, n, cfg.patch_resolution,
+                                          cfg.render_resolution, bbox)
+            out[f'{prefix}patch_h'] = jnp.asarray(h0)
+            out[f'{prefix}patch_w'] = jnp.asarray(w0)
         return out
 
     # -- loop --------------------------------------------------------------
@@ -221,6 +251,8 @@ class VAETrainer:
         for i in range(num_steps):
             raw = next(data)
             batch = self.prepare_batch(raw)
+            # live step for the KL-anneal schedule (losses.kl_coeff)
+            batch['step'] = jnp.asarray(step_offset + i, jnp.float32)
             state, metrics = self._step_fn(
                 state, batch, jax.random.fold_in(
                     jax.random.PRNGKey(1234), step_offset + i))

@@ -61,6 +61,72 @@ class TestVAETrainer:
         assert np.isfinite(losses).all()
         assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
 
+    def test_novel_view_supervision_improves_heldout_psnr(self):
+        """True nv supervision (VERDICT #5): train on held-out nv_* views
+        only; held-out-view reconstruction must improve, and the nv batch
+        fields must actually be consumed (reference
+        train_nv_util.py:675-860)."""
+        mesh = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
+        opts = RenderOptions(depth_resolution=8,
+                             depth_resolution_importance=8,
+                             ray_start='auto', ray_end='auto', box_warp=1.0,
+                             filter_out_of_bbox=True)
+        # patch == render resolution: nv patches cover the full view, so
+        # held-out full-image error must drop if nv supervision works.
+        trainer = VAETrainer(
+            tiny_vae_cfg(),
+            VAETrainConfig(lr=3e-3, patch_resolution=16,
+                           render_resolution=16, supervise_views='nv',
+                           log_interval=1000),
+            LossConfig(depth_lambda=0.0, lpips_lambda=0.0),
+            render_opts=opts, mesh=mesh, seed=0)
+        data = load_memory_data(1, num_views=2, resolution=32,
+                                render_resolution=16, num_views_sup=2)
+        raw = next(data)
+        assert 'nv_c' in raw and raw['nv_c'].shape[0] == 2
+        batch = trainer.prepare_batch(raw)
+        assert 'nv_patch_h' in batch
+        trainer.build(raw)
+
+        def heldout_mse(state):
+            variables = {'params': state.params, **(state.constants or {})}
+            m = trainer.model
+            moments = m.apply(variables, batch['img_to_encoder'],
+                              method=m.encode)
+            latent, _ = m.apply(variables, moments, None, False,
+                                method=m.reparameterize)
+            planes = m.apply(variables, latent, method=m.decode_latent)
+            planes_v = jnp.repeat(planes, 2, axis=0)
+            out = m.apply(variables, planes_v, batch['nv_c'], opts, 16,
+                          None, method=m.render)
+            return float(jnp.mean(
+                (out['image_raw'] - batch['nv_img'])**2))
+
+        before = heldout_mse(trainer._state)
+        state = trainer._state
+        for i in range(30):
+            b = trainer.prepare_batch(next(data))
+            state, metrics = trainer._step_fn(
+                state, b, jax.random.fold_in(jax.random.PRNGKey(3), i))
+        after = heldout_mse(state)
+        assert np.isfinite(after)
+        assert after < before * 0.9, (before, after)
+
+    def test_lr_groups_scale_updates(self):
+        """Per-submodule LR groups: a zero-lr group must freeze that
+        subtree while others update."""
+        from ln3diff_tpu.training.train_state import make_optimizer
+        import optax
+        params = {'encoder': {'w': jnp.ones((3,))},
+                  'decoder': {'w': jnp.ones((3,))}}
+        tx = make_optimizer(1e-2, weight_decay=0.0, grad_clip=None,
+                            lr_groups={'encoder': 0.0})
+        st = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, st, params)
+        assert float(jnp.abs(updates['encoder']['w']).max()) == 0.0
+        assert float(jnp.abs(updates['decoder']['w']).max()) > 0.0
+
     def test_patch_crop_consistency(self):
         """The GT crop must match the rays' patch window: rendering with
         zero-density planes gives white; crop shapes line up."""
