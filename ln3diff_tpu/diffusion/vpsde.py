@@ -196,7 +196,8 @@ def vpsde_training_losses(sde: VPSDE, eps_fn: Callable, x0, key,
     l2 = jnp.square(pred - noise)
     axes = tuple(range(1, x0.ndim))
     loss = jnp.sum(iw.obj_weight_t * l2, axis=axes)
-    return {'loss': loss, 'p_eps_objs': l2, 'iw': iw, 'x_t': x_t}
+    return {'loss': loss, 'p_eps_objs': l2, 'iw': iw, 'x_t': x_t,
+            'pred_eps': pred, 'noise': noise}
 
 
 def kl_per_group(kl_all: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -226,15 +227,33 @@ def kl_balancer(kl_all: jax.Array, kl_coeff: float = 1.0,
 
 
 def vpsde_cross_entropy_per_dim(sde: VPSDE, eps_fn: Callable, x0, key,
+                                mode: str = 'll_iw',
                                 mixing_logit: Optional[jax.Array] = None):
-    """q-objective (joint VAE training): likelihood-weighted CE term
-    (reference ``ce_ddpm_step:485``)."""
-    out = vpsde_training_losses(sde, eps_fn, x0, key, mode='ll_iw',
+    """q-objective CE: per-element −log p(z) through the prior (reference
+    ``ce_ddpm_step`` CE block ``train_util_diffusion_lsgm_noD_joint.py:
+    594-608``: ``obj_weight_t_q · ‖pred_eps − noise‖² +
+    cross_entropy_const(sde_time_eps)``, ``continuous_diffusion.py:103``).
+
+    ``mode`` must be a likelihood weighting ('ll_uniform' | 'll_iw') —
+    the reference asserts the same.  Returns a tensor shaped like x0.
+    """
+    assert mode in ('ll_uniform', 'll_iw'), mode
+    out = vpsde_training_losses(sde, eps_fn, x0, key, mode=mode,
                                 mixing_logit=mixing_logit)
     # cross-entropy constant per dim at the ODE cutoff
     const = 0.5 * (1.0 + jnp.log(2.0 * jnp.pi
                                  * sde.var(jnp.asarray(sde.time_eps))))
-    dims = 1
-    for d in x0.shape[1:]:
-        dims *= d
-    return out['loss'] + const * dims
+    return out['iw'].obj_weight_t_ll * out['p_eps_objs'] + const
+
+
+def kl_per_group_vada(log_q: jax.Array, neg_log_p: jax.Array):
+    """Per-sample variational-diffusion KL (reference
+    ``continuous_diffusion_utils.py:256`` ``kl_per_group_vada``):
+    both args elementwise (B, ...); returns (kl_per_sample (B,),
+    kl_diag (per-dim mean over batch and trailing axes)).  The reference
+    averages (not sums) over dims — kept."""
+    axes = tuple(range(1, log_q.ndim))
+    kl_per_sample = jnp.mean(neg_log_p + log_q, axis=axes)
+    kl_diag = jnp.mean(neg_log_p + log_q, axis=(0,) + axes[1:]) \
+        if log_q.ndim > 2 else jnp.mean(neg_log_p + log_q, axis=0)
+    return kl_per_sample, kl_diag

@@ -9,8 +9,12 @@ param trees:
   * ``prepare_ddpm`` — VPSDE ``iw_quantities`` + ``sample_q`` (:250-289);
   * ``ddpm_step`` — eps matching with the mixing-logit normal trick
     (:348-402), prior (p) objective;
-  * ``ce_ddpm_step`` — joint VAE reconstruction + cross-entropy (q)
-    objective + negative entropy (:485);
+  * ``ce_ddpm_step`` — joint VAE reconstruction + the vada CE (q)
+    objective: per-dim −log p through the frozen prior combined with the
+    posterior log q and kl-balanced (:485-620,
+    ``continuous_diffusion_utils.py:231,256``);
+  * ``p_rendering_step`` — render-space loss on the denoised x0
+    prediction, reaching both trees (:1037-1163);
   * latent-statistics EMA monitoring (``_setup_latent_stat:60-74``).
 """
 
@@ -22,8 +26,9 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..diffusion.vpsde import (VPSDE, get_mixed_prediction,
-                               vpsde_training_losses)
+from ..diffusion.vpsde import (VPSDE, get_mixed_prediction, kl_balancer,
+                               kl_per_group_vada, vpsde_training_losses,
+                               vpsde_cross_entropy_per_dim)
 from ..render.renderer import RenderOptions
 from .losses import LossConfig, reconstruction_losses
 
@@ -31,7 +36,7 @@ from .losses import LossConfig, reconstruction_losses
 @dataclasses.dataclass(frozen=True)
 class LSGMConfig:
     iw_mode_p: str = 'drop_sigma2t_iw'   # prior objective t-sampling
-    iw_mode_q: str = 'll_iw'             # joint CE objective t-sampling
+    iw_mode_q: str = 'll_iw'             # CE t-sampling ('ll_*' only)
     p_rendering_loss: bool = False       # render-space loss on pred x0
     joint_ce: bool = True                # train VAE through the prior
     ce_balanced_kl: float = 1.0
@@ -49,6 +54,12 @@ def make_joint_loss_fn(vae_model, denoiser_model, render_opts: RenderOptions,
     c, patch_h, patch_w) + optional 'context' for the denoiser.
     """
     from ..render.ray_sampler import sample_patch_rays, unpack_25d_camera
+
+    # p_rendering re-renders through the reconstruction rays/targets, so it
+    # requires the VAE branch (the reference p_rendering_step asserts
+    # args.train_vae the same way).
+    assert lsgm_cfg.train_vae or not lsgm_cfg.p_rendering_loss, \
+        'p_rendering_loss requires train_vae'
 
     def loss_fn(params, constants, batch, rng):
         k_vae, k_render, k_ddpm = jax.random.split(rng, 3)
@@ -108,8 +119,13 @@ def make_joint_loss_fn(vae_model, denoiser_model, render_opts: RenderOptions,
         def eps_fn(x_t, t):
             return denoiser_model.apply(ddpm_vars, x_t, t, context)
 
-        ddpm_in = jax.lax.stop_gradient(latent) if not lsgm_cfg.joint_ce \
-            else latent
+        # Prior objective trains the DENOISER on detached latents
+        # (reference ce_ddpm_step: ``eps_t_p = eps_t_p.detach()`` — the
+        # VAE learns through the q/CE term below, not through p).  With
+        # p_rendering the latent flows (reference p_rendering_step:1095
+        # keeps eps attached so the render term reaches the encoder).
+        ddpm_in = latent if lsgm_cfg.p_rendering_loss \
+            else jax.lax.stop_gradient(latent)
         out = vpsde_training_losses(sde, eps_fn, ddpm_in, k_ddpm,
                                     mode=lsgm_cfg.iw_mode_p,
                                     mixing_logit=mixing_logit)
@@ -117,11 +133,54 @@ def make_joint_loss_fn(vae_model, denoiser_model, render_opts: RenderOptions,
         total += p_loss
         metrics['p_eps_loss'] = p_loss
 
-        if lsgm_cfg.joint_ce:
-            # negative encoder entropy (q objective, reference ce_ddpm_step)
-            neg_entropy = -posterior.normal_entropy().mean()
-            total += lsgm_cfg.ce_balanced_kl * neg_entropy
-            metrics['neg_entropy'] = neg_entropy
+        if lsgm_cfg.p_rendering_loss:
+            # render-space loss on the denoised x0 prediction (reference
+            # ``p_rendering_step``
+            # train_util_diffusion_lsgm_noD_joint.py:1037-1163: re-render
+            # pred_x0 through the same decoder and supervise with the
+            # reconstruction targets; grads flow to VAE AND denoiser).
+            iw = out['iw']
+            logsnr = sde.log_snr(iw.m_t, iw.var_t)
+            pred_x0 = sde.predict_x0_from_eps(out['x_t'], out['pred_eps'],
+                                              logsnr)
+            planes_p = vae_model.apply(vae_vars, pred_x0,
+                                       method=vae_model.decode_latent)
+            planes_pv = jnp.repeat(planes_p, V, axis=0)
+            pred_p = vae_model.apply(vae_vars, planes_pv, None, render_opts,
+                                     patch_resolution, k_render,
+                                     ray_origins=ray_o, ray_directions=ray_d,
+                                     method=vae_model.render)
+            p_rec_total, p_rec_terms = reconstruction_losses(
+                pred_p, target, loss_cfg)
+            total += p_rec_total
+            metrics['p_rendering_loss'] = p_rec_total
+
+        if lsgm_cfg.joint_ce and lsgm_cfg.train_vae:
+            # q objective: VAE trained THROUGH the frozen prior — the
+            # vada CE (reference ce_ddpm_step CE block :575-620 with
+            # ``requires_grad(ddpm, False)``): per-dim
+            # −log p = obj_weight_q·‖eps_hat − ε‖² + const, combined with
+            # the posterior's log q and balanced (kl_balancer).
+            k_q = jax.random.fold_in(k_ddpm, 1)
+            frozen = jax.lax.stop_gradient(ddpm_vars)
+
+            def eps_fn_q(x_t, t):
+                return denoiser_model.apply(frozen, x_t, t, context)
+
+            neg_log_p = vpsde_cross_entropy_per_dim(
+                sde, eps_fn_q, latent, k_q, mode=lsgm_cfg.iw_mode_q,
+                mixing_logit=None if mixing_logit is None
+                else jax.lax.stop_gradient(mixing_logit))
+            # posterior may keep the interleaved (z, 3) channel view — view
+            # the flat latent back for the elementwise log q.
+            log_q = posterior.log_p(
+                latent.reshape(posterior.mean.shape)).reshape(latent.shape)
+            kl_vada, _ = kl_per_group_vada(log_q, neg_log_p)
+            ce_loss = kl_balancer(kl_vada[:, None],
+                                  kl_coeff=lsgm_cfg.ce_balanced_kl)
+            total += ce_loss
+            metrics['ce_balanced_kl'] = ce_loss
+            metrics['log_q'] = log_q.mean()
 
         # latent statistic monitoring (reference _setup_latent_stat)
         metrics['latent_mean'] = latent.mean()
