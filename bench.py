@@ -95,7 +95,8 @@ def main():
                            num_frames=num_frames,
                            mesh_path=os.path.join(td, 'm.obj'),
                            mesh_grid=mesh_grid,
-                           render_resolution=render_resolution)
+                           render_resolution=render_resolution,
+                           video_uint8=True)
             np.asarray(out['video'])  # drain device
         return time.perf_counter() - t0
 
@@ -108,7 +109,9 @@ def main():
         'value': round(wall, 2),
         'unit': ('s (prompt -> 250-step DDIM DiT-L/2 CFG -> VAE decode -> '
                  f'{num_frames}x{render_resolution}^2 orbit render -> '
-                 f'{mesh_grid}^3 mesh, warm)'),
+                 f'{mesh_grid}^3 mesh, warm; CLIP text tower is '
+                 'architecture-faithful but randomly initialized — '
+                 'wall-clock-identical to converted weights)'),
         'vs_baseline': round(baseline / wall, 3),
     }))
 

@@ -79,7 +79,12 @@ def osg_pointwise_reference(rows, tx, ty, live, w1, b1, w2, b2,
 def _kernel(rows_ref, tx_ref, ty_ref, live_ref, w1_ref, b1_ref, w2_ref,
             b2_ref, rgb_ref, sigma_ref, *, activation: str):
     C = w1_ref.shape[0]
-    rows = rows_ref[:]                       # (3, TILE, 4C)
+    # rows arrive in their native dtype (bf16 on inference surfaces) and
+    # widen HERE, in VMEM — casting at the pallas_call boundary would
+    # materialize a full f32 copy of the gathered-rows tensor in HBM
+    # (≈7 GB/frame at 192², the stage-2 bandwidth floor).  bf16→f32 is
+    # exact, so results are bitwise identical.
+    rows = rows_ref[:].astype(jnp.float32)   # (3, TILE, 4C)
     tx = tx_ref[:][..., None]                # (3, TILE, 1)
     ty = ty_ref[:][..., None]
     live = live_ref[:][..., None]
@@ -158,7 +163,7 @@ def osg_pointwise_fused(rows, tx, ty, live, w1, b1, w2, b2,
             jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(rows.astype(jnp.float32), tx.astype(jnp.float32),
+    )(rows, tx.astype(jnp.float32),
       ty.astype(jnp.float32), live.astype(jnp.float32),
       w1.astype(jnp.float32), b1.astype(jnp.float32),
       w2.astype(jnp.float32), b2.astype(jnp.float32))

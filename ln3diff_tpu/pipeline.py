@@ -193,16 +193,29 @@ class TextTo3DPipeline:
                                        *imgs.shape[1:]))
         return jnp.concatenate(chunks, axis=1)
 
-    def export_mesh(self, planes, path: str, grid_size: int = 192,
-                    aabb: float = 0.45, threshold: float = 10.0):
-        """Per-instance mesh export (reference 192³ grid, σ>10, −90° x)."""
+    def _mesh_decoder(self, planes):
         params = self.vae_params
 
         def decoder(coords):
             return self.point_decoder_fn(params, planes[:1], coords)
 
-        verts, colors, faces = extract_mesh(decoder, grid_size=grid_size,
-                                            aabb=aabb, threshold=threshold)
+        return decoder
+
+    def dispatch_mesh_sigma(self, planes, grid_size: int = 192,
+                            aabb: float = 0.45):
+        """Enqueue the σ-grid device query WITHOUT waiting — returns the
+        in-flight device array.  Call before a large host readback (e.g.
+        the orbit video) so query compute/transfer overlap with it."""
+        from .render.mesh import query_grid_sigma
+        return query_grid_sigma(self._mesh_decoder(planes), grid_size, aabb)
+
+    def export_mesh(self, planes, path: str, grid_size: int = 192,
+                    aabb: float = 0.45, threshold: float = 10.0,
+                    sigma_grid=None):
+        """Per-instance mesh export (reference 192³ grid, σ>10, −90° x)."""
+        verts, colors, faces = extract_mesh(
+            self._mesh_decoder(planes), grid_size=grid_size, aabb=aabb,
+            threshold=threshold, sigma_grid=sigma_grid)
         verts = rotate_x(verts, -90.0)
         if path.endswith('.ply'):
             export_ply(path, verts, colors, faces)
@@ -215,7 +228,12 @@ class TextTo3DPipeline:
     def __call__(self, key, cond, uncond, batch: int = 1,
                  num_frames: int = 24, mesh_path: Optional[str] = None,
                  mesh_grid: int = 192,
-                 render_resolution: Optional[int] = None):
+                 render_resolution: Optional[int] = None,
+                 video_uint8: bool = False):
+        """Full run.  ``video_uint8``: return the orbit as host uint8
+        frames (serving format; reference writes uint8 mp4 —
+        ``train_util_diffusion.py:208-249``) — quarters the device→host
+        readback, which dominates on tunneled chips."""
         k_sample, _ = jax.random.split(key)
         # sample_latents already returns sample * triplane_scaling_divider
         # (the decoder-space latent); pass it to decode unchanged.
@@ -223,11 +241,22 @@ class TextTo3DPipeline:
         planes = self._decode_jit(self.vae_params, latents)
         video = self.render_orbit(planes, num_frames,
                                   render_resolution=render_resolution)
-        out = {'latents': latents, 'planes': planes, 'video': video}
+        if video_uint8:
+            video = jax.jit(
+                lambda v: ((jnp.clip(v, -1, 1) + 1) * 127.5)
+                .astype(jnp.uint8))(video)
+        out = {'latents': latents, 'planes': planes}
         if mesh_path:
+            # enqueue the σ-grid query BEFORE pulling the video: the
+            # device runs it while the video readback is on the wire.
+            sigma_grid = self.dispatch_mesh_sigma(planes, mesh_grid)
+            out['video'] = np.asarray(video) if video_uint8 else video
             verts, faces = self.export_mesh(planes, mesh_path,
-                                            grid_size=mesh_grid)
+                                            grid_size=mesh_grid,
+                                            sigma_grid=sigma_grid)
             out['mesh'] = (verts, faces)
+        else:
+            out['video'] = np.asarray(video) if video_uint8 else video
         return out
 
 

@@ -29,7 +29,11 @@ PointDecoder = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
 def query_grid_sigma(point_decoder: PointDecoder, grid_size: int,
                      aabb: float = 0.45, chunk: int = 2**16) -> jax.Array:
     """Evaluate σ on a dense grid by chunked decoding (reference chunk
-    2^16).  Returns (grid_size³,) flattened sigma; caller reshapes."""
+    2^16).  Returns (grid_size³,) flattened f16 sigma; caller reshapes.
+
+    f16 on purpose: the σ field only drives iso-surface placement (10
+    mantissa bits ≫ voxel-interpolation precision) and the host pull of a
+    192³ grid is transfer-bound on tunneled chips (28 MB f32 → 14 MB)."""
     lin = jnp.linspace(-aabb, aabb, grid_size)
     gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing='ij')
     pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
@@ -40,7 +44,7 @@ def query_grid_sigma(point_decoder: PointDecoder, grid_size: int,
 
     def eval_chunk(p):
         _, sigma = point_decoder(p[None])
-        return sigma[0, :, 0]
+        return sigma[0, :, 0].astype(jnp.float16)
 
     sigmas = jax.lax.map(eval_chunk, chunks)
     return sigmas.reshape(-1)[:n]
@@ -48,17 +52,22 @@ def query_grid_sigma(point_decoder: PointDecoder, grid_size: int,
 
 def extract_mesh(point_decoder: PointDecoder, grid_size: int = 128,
                  aabb: float = 0.45, threshold: float = 10.0,
-                 chunk: int = 2**16):
+                 chunk: int = 2**16, sigma_grid: Optional[jax.Array] = None):
     """Full extraction: σ grid → triangles → per-vertex colors.
+
+    ``sigma_grid``: optional pre-dispatched :func:`query_grid_sigma`
+    result — lets callers enqueue the device query early and overlap its
+    execution/transfer with other host work (e.g. video readback).
 
     Returns (vertices (N, 3) world coords, colors (N, 3) in [0, 1],
     faces (T, 3) indices).  Flat (unshared) vertices, 3 per triangle.
     """
     from ..native.build import get_marching_tetrahedra
 
-    sigma = np.asarray(
-        query_grid_sigma(point_decoder, grid_size, aabb, chunk),
-        np.float32).reshape(grid_size, grid_size, grid_size)
+    if sigma_grid is None:
+        sigma_grid = query_grid_sigma(point_decoder, grid_size, aabb, chunk)
+    sigma = np.asarray(sigma_grid, np.float32).reshape(
+        grid_size, grid_size, grid_size)
 
     mt = get_marching_tetrahedra()
     max_tris = 4_000_000
