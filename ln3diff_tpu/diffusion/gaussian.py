@@ -92,6 +92,41 @@ class DiffusionSpec:
     mixed_prediction: bool = False    # LSGM mixing-logit prediction
     clip_denoised: bool = False
     rescale_timesteps: bool = False
+    # 'mse' | 'rescaled_mse' (hybrid: MSE + detached-mean VLB for
+    # learned_range) | 'kl' | 'rescaled_kl' (reference LossType,
+    # ``gaussian_diffusion.py:1084-1177``)
+    loss_type: str = 'mse'
+
+
+def mean_flat(x: jax.Array) -> jax.Array:
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
+
+def normal_kl(mean1, logvar1, mean2, logvar2):
+    """KL of two diagonal Gaussians, elementwise in nats (reference
+    ``guided_diffusion/losses.py:12``)."""
+    return 0.5 * (-1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
+                  + jnp.square(mean1 - mean2) * jnp.exp(-logvar2))
+
+
+def approx_standard_normal_cdf(x):
+    return 0.5 * (1.0 + jnp.tanh(jnp.sqrt(2.0 / jnp.pi)
+                                 * (x + 0.044715 * x**3)))
+
+
+def discretized_gaussian_log_likelihood(x, *, means, log_scales):
+    """log p of uint8-discretized data in [-1, 1] under a Gaussian
+    (reference ``losses.py:50``): CDF mass of the 1/255-wide bin."""
+    centered = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    cdf_plus = approx_standard_normal_cdf(inv_stdv * (centered + 1.0 / 255))
+    cdf_min = approx_standard_normal_cdf(inv_stdv * (centered - 1.0 / 255))
+    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, 1e-12))
+    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, 1e-12))
+    log_cdf_delta = jnp.log(jnp.clip(cdf_plus - cdf_min, 1e-12))
+    return jnp.where(x < -0.999, log_cdf_plus,
+                     jnp.where(x > 0.999, log_one_minus_cdf_min,
+                               log_cdf_delta))
 
 
 class GaussianDiffusion:
@@ -275,29 +310,107 @@ class GaussianDiffusion:
         mean, _, _ = self.q_posterior_mean_variance(x0, x, t)
         return mean, model_variance, model_log_variance, x0
 
-    # -- training losses (reference :1050-1175, MSE path) ------------------
+    # -- variational bound (reference :1012-1177) --------------------------
+
+    def _vb_terms_bpd(self, model_output, x_start, x_t, t,
+                      mixing_logit=None):
+        """One VLB term in BITS: KL(q(x_{t-1}|x_t,x0) ‖ p_θ(x_{t-1}|x_t)),
+        decoder NLL at t=0 (reference ``_vb_terms_bpd:1012-1049``).
+        ``model_output`` is the raw network output (both halves for
+        learned_range).  Returns (output (B,), pred_xstart)."""
+        true_mean, _, true_log_var = self.q_posterior_mean_variance(
+            x_start, x_t, t)
+        mean, _, log_var, x0 = self.p_mean_variance(
+            model_output, x_t, t, mixing_logit=mixing_logit)
+        ln2 = math.log(2.0)
+        kl = mean_flat(normal_kl(true_mean, true_log_var, mean,
+                                 log_var)) / ln2
+        decoder_nll = -mean_flat(discretized_gaussian_log_likelihood(
+            x_start, means=mean, log_scales=0.5 * log_var)) / ln2
+        return jnp.where(t == 0, decoder_nll, kl), x0
+
+    def prior_bpd(self, x_start):
+        """KL(q(x_T|x_0) ‖ N(0,I)) in bits (reference ``_prior_bpd``)."""
+        t = jnp.full((x_start.shape[0],), self.num_timesteps - 1,
+                     jnp.int32)
+        mean = self._extract(self.sqrt_alphas_cumprod, t,
+                             x_start.ndim) * x_start
+        logvar = self._extract(
+            jnp.log(1.0 - self.alphas_cumprod), t, x_start.ndim)
+        return mean_flat(normal_kl(mean, logvar, 0.0, 0.0)) / math.log(2.0)
+
+    def calc_bpd_loop(self, model_fn: ModelFn, x_start, key,
+                      model_kwargs=None):
+        """Full-chain NLL evaluation (reference ``calc_bpd_loop:
+        1110-1177``): per-timestep VLB terms + prior bpd, as one scan.
+
+        Returns dict with total_bpd (B,), prior_bpd (B,), vb (B, T),
+        mse (B, T) — timestep order matches the reference (t ascending).
+        """
+        model_kwargs = model_kwargs or {}
+        B = x_start.shape[0]
+
+        def one_t(key, t_scalar):
+            t = jnp.full((B,), t_scalar, jnp.int32)
+            noise = jax.random.normal(key, x_start.shape, x_start.dtype)
+            x_t = self.q_sample(x_start, t, noise)
+            out = model_fn(x_t, self.scale_t(t), **model_kwargs)
+            vb, x0 = self._vb_terms_bpd(out, x_start, x_t, t)
+            eps = self.predict_eps_from_xstart(x_t, t, x0)
+            return vb, mean_flat(jnp.square(eps - noise)), \
+                mean_flat(jnp.square(x0 - x_start))
+
+        keys = jax.random.split(key, self.num_timesteps)
+        vb, mse, xstart_mse = jax.lax.map(
+            lambda args: one_t(*args),
+            (keys, jnp.arange(self.num_timesteps)))
+        prior = self.prior_bpd(x_start)
+        total = jnp.sum(vb, axis=0) + prior
+        return {'total_bpd': total, 'prior_bpd': prior, 'vb': vb.T,
+                'mse': mse.T, 'xstart_mse': xstart_mse.T}
+
+    # -- training losses (reference :1050-1175) ----------------------------
 
     def training_losses(self, model_fn: ModelFn, x_start, t, key,
                         model_kwargs=None):
         model_kwargs = model_kwargs or {}
+        spec = self.spec
         noise = jax.random.normal(key, x_start.shape, x_start.dtype)
         x_t = self.q_sample(x_start, t, noise)
         model_output = model_fn(x_t, self.scale_t(t), **model_kwargs)
 
-        if self.spec.var_type == 'learned_range':
-            model_output, _ = jnp.split(model_output, 2, axis=-1)
+        if spec.loss_type in ('kl', 'rescaled_kl'):
+            vb, _ = self._vb_terms_bpd(model_output, x_start, x_t, t)
+            loss = vb * self.num_timesteps \
+                if spec.loss_type == 'rescaled_kl' else vb
+            return {'loss': loss, 'vb': vb, 'x_t': x_t,
+                    'model_output': model_output}
 
-        if self.spec.mean_type == 'eps':
+        terms = {}
+        if spec.var_type == 'learned_range':
+            # Learn the variance head through the VLB without letting it
+            # move the mean prediction (reference :1100-1127: frozen_out
+            # detaches the mean half).
+            mean_out, var_values = jnp.split(model_output, 2, axis=-1)
+            frozen = jnp.concatenate(
+                [jax.lax.stop_gradient(mean_out), var_values], axis=-1)
+            vb, _ = self._vb_terms_bpd(frozen, x_start, x_t, t)
+            if spec.loss_type == 'rescaled_mse':
+                vb = vb * (self.num_timesteps / 1000.0)
+            terms['vb'] = vb
+            model_output = mean_out
+
+        if spec.mean_type == 'eps':
             target = noise
-        elif self.spec.mean_type == 'v':
+        elif spec.mean_type == 'v':
             target = self.predict_v(x_start, t, noise)
         else:
             target = x_start
 
-        axes = tuple(range(1, x_start.ndim))
-        mse = jnp.mean((target - model_output)**2, axis=axes)
-        return {'loss': mse, 'mse': mse, 'x_t': x_t,
-                'model_output': model_output}
+        mse = mean_flat((target - model_output)**2)
+        terms.update(mse=mse, x_t=x_t, model_output=model_output)
+        terms['loss'] = mse + terms['vb'] if 'vb' in terms else mse
+        return terms
 
     # -- samplers (single jitted scans) ------------------------------------
 
@@ -423,10 +536,12 @@ def make_diffusion(schedule: str = 'linear', steps: int = 1000,
                    mean_type: str = 'eps', var_type: str = 'fixed_small',
                    timestep_respacing: str | None = None,
                    mixed_prediction: bool = False,
-                   rescale_timesteps: bool = False) -> GaussianDiffusion:
+                   rescale_timesteps: bool = False,
+                   loss_type: str = 'mse') -> GaussianDiffusion:
     spec = DiffusionSpec(schedule=schedule, steps=steps, mean_type=mean_type,
                          var_type=var_type, mixed_prediction=mixed_prediction,
-                         rescale_timesteps=rescale_timesteps)
+                         rescale_timesteps=rescale_timesteps,
+                         loss_type=loss_type)
     use = None
     if timestep_respacing:
         use = space_timesteps(steps, timestep_respacing)

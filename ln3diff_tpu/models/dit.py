@@ -77,6 +77,19 @@ def t2i_modulate(x, shift, scale):
     return x * (1 + scale) + shift
 
 
+def _sdpa(q, k, v):
+    """Scaled dot-product attention on (B, L, H, Dh) operands.
+
+    Measured on v5e at DiT-L inference shapes (B=2, H=16, L=768, d=64):
+    the Pallas flash-attention kernel runs at 494 µs/block vs XLA's
+    unfused ~100 µs — at short sequence/tiny batch the kernel's grid is
+    too small to pipeline and the (L, L) score tensor fits cache-friendly
+    HBM traffic anyway.  XLA's lowering wins until L is in the thousands;
+    revisit for long-context variants.
+    """
+    return jax.nn.dot_product_attention(q, k, v)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (fused under XLA)."""
     num_heads: int
@@ -99,7 +112,7 @@ class Attention(nn.Module):
         if self.qk_norm:
             q = nn.RMSNorm(epsilon=1e-5, dtype=self.dtype, name='q_norm')(q)
             k = nn.RMSNorm(epsilon=1e-5, dtype=self.dtype, name='k_norm')(k)
-        out = jax.nn.dot_product_attention(q, k, v)
+        out = _sdpa(q, k, v)
         out = out.reshape(B, L, D)
         return nn.Dense(D, dtype=self.dtype, name='proj')(out)
 
@@ -348,6 +361,10 @@ class DiTConfig:
     variant: str = 'text'         # DiTBlock variant
     pooled_vector_dim: int = 0    # >0 → add cap_embedder(vector) to t
     t2i_final: bool = False
+    # double the output channels with a variance head (reference
+    # ``dit_models_xformers.py:712-714``; all released LN3Diff configs
+    # pass --learn_sigma False — enable for learned_range VLB training)
+    learn_sigma: bool = False
     dtype: Any = jnp.bfloat16
 
 
@@ -435,16 +452,20 @@ class DiT_TriLatent(nn.Module):
                          split_rngs={'params': True}, length=cfg.depth)
         x, _ = Blocks(name='blocks')(x, None)
 
-        out_dim = cfg.patch_size**2 * cfg.in_channels
+        out_ch = cfg.in_channels * (2 if cfg.learn_sigma else 1)
+        out_dim = cfg.patch_size**2 * out_ch
         x = FinalLayer(cfg.hidden_size, out_dim, t2i=cfg.t2i_final,
                        dtype=dtype, name='final_layer')(x, t)
 
-        # un-roll-out + unpatchify back to (B, H, W, (c, plane)).
+        # un-roll-out + unpatchify back to (B, H, W, (c, plane)).  With
+        # learn_sigma the c axis is (mean C, var C) — c slow / plane fast
+        # keeps the flat channel axis splittable in halves for
+        # ``DiffusionSpec(var_type='learned_range')``.
         p = cfg.patch_size
         h = w = H // p
-        x = x.reshape(B, n, h, w, p, p, cfg.in_channels)
+        x = x.reshape(B, n, h, w, p, p, out_ch)
         x = jnp.transpose(x, (0, 2, 4, 3, 5, 6, 1))  # B h p w p c n
-        x = x.reshape(B, H, W, cfg.in_channels * n)
+        x = x.reshape(B, H, W, out_ch * n)
         return x.astype(jnp.float32)
 
 

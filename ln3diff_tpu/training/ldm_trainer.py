@@ -38,6 +38,11 @@ class LDMTrainConfig:
     schedule: str = 'linear'
     diffusion_steps: int = 1000
     mean_type: str = 'v'
+    var_type: str = 'fixed_small'     # 'learned_range' trains the VLB head
+    loss_type: str = 'mse'            # 'rescaled_mse' = hybrid MSE+VLB
+    # 'uniform' | 'loss-second-moment' (reference --schedule_sampler lognormal
+    # analog: importance-sample t ∝ sqrt(E[loss²]), resample.py)
+    schedule_sampler: str = 'uniform'
     microbatch_steps: int = 1
     log_interval: int = 10
     total_steps: int = 1000000
@@ -60,7 +65,15 @@ class LDMTrainer:
         if train_cfg.objective == 'ddpm':
             self.diffusion = make_diffusion(
                 schedule=train_cfg.schedule, steps=train_cfg.diffusion_steps,
-                mean_type=train_cfg.mean_type)
+                mean_type=train_cfg.mean_type, var_type=train_cfg.var_type,
+                loss_type=train_cfg.loss_type)
+            if train_cfg.schedule_sampler == 'loss-second-moment':
+                from ..diffusion.resample import LossSecondMomentResampler
+                self.resampler = LossSecondMomentResampler(
+                    self.diffusion.num_timesteps)
+                self._resampler_rng = np.random.default_rng(seed)
+            else:
+                self.resampler = None
         elif train_cfg.objective == 'edm':
             self.denoiser = DiscreteDenoiser(num_idx=1000, scaling='eps')
         else:
@@ -94,11 +107,24 @@ class LDMTrainer:
             return loss, {'fm_mse': loss}
         if cfg.objective == 'ddpm':
             k_t, k_n = jax.random.split(rng)
-            t = jax.random.randint(k_t, (x0.shape[0],), 0,
-                                   self.diffusion.num_timesteps)
+            if 't' in batch:
+                # importance-sampled timesteps from the host-side
+                # resampler (reference schedule_sampler); weights undo
+                # the sampling bias.
+                t, t_w = batch['t'], batch['t_weights']
+            else:
+                t = jax.random.randint(k_t, (x0.shape[0],), 0,
+                                       self.diffusion.num_timesteps)
+                t_w = 1.0
             out = self.diffusion.training_losses(model_fn, x0, t, k_n)
-            loss = out['loss'].mean()
-            return loss, {'ddpm_mse': loss}
+            loss = (t_w * out['loss']).mean()
+            metrics = {'ddpm_mse': out.get('mse', out['loss']).mean()}
+            if 'vb' in out:
+                metrics['vb'] = out['vb'].mean()
+            if 't' in batch:
+                metrics['per_sample_loss'] = \
+                    jax.lax.stop_gradient(out['loss'])
+            return loss, metrics
         # edm
         def network(xt, c_noise, cond):
             return self.model.apply({'params': params, **(constants or {})},
@@ -122,13 +148,22 @@ class LDMTrainer:
         (reference eval_cldm cadence)."""
         assert self._step_fn is not None, 'call build() first'
         state = self._state
+        resampler = getattr(self, 'resampler', None)
         for i in range(num_steps):
             batch = {k: jnp.asarray(v) if not isinstance(v, dict) else
                      jax.tree_util.tree_map(jnp.asarray, v)
                      for k, v in next(data).items()}
+            if resampler is not None:
+                t_np, w_np = resampler.sample(self._resampler_rng,
+                                              batch['latent'].shape[0])
+                batch['t'] = jnp.asarray(t_np)
+                batch['t_weights'] = jnp.asarray(w_np)
             state, metrics = self._step_fn(
                 state, batch,
                 jax.random.fold_in(jax.random.PRNGKey(42), step_offset + i))
+            if resampler is not None:
+                resampler.update_with_losses(
+                    t_np, np.asarray(metrics.pop('per_sample_loss')))
             if (i + 1) % self.cfg.log_interval == 0:
                 logger.log_loss_dict(
                     {k: float(v) for k, v in metrics.items()})

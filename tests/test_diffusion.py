@@ -294,3 +294,130 @@ class TestMixedPrediction:
         _, _, _, expect = d.p_mean_variance(v, x, t, mixing_logit=logit)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestVLB:
+    """VERDICT #9: VLB/hybrid loss + bpd for learned_range models —
+    numeric parity vs the reference ``gaussian_diffusion.py:1012-1177``."""
+
+    def _ref_diffusion(self, steps=100):
+        from tests import ref_compat
+        ref_compat.install()
+        import importlib
+        gd = importlib.import_module('guided_diffusion.gaussian_diffusion')
+        betas = gd.get_named_beta_schedule('linear', steps)
+        return gd, gd.GaussianDiffusion(
+            betas=betas,
+            model_mean_type=gd.ModelMeanType.EPSILON,
+            model_var_type=gd.ModelVarType.LEARNED_RANGE,
+            loss_type=gd.LossType.RESCALED_MSE)
+
+    def test_vb_terms_match_reference(self):
+        import torch
+        gd, ref = self._ref_diffusion()
+        d = make_diffusion(steps=100, mean_type='eps',
+                           var_type='learned_range',
+                           loss_type='rescaled_mse')
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal((4, 8, 8, 6)).astype(np.float32) * 0.5
+        xt = rng.standard_normal((4, 8, 8, 6)).astype(np.float32)
+        out = rng.standard_normal((4, 8, 8, 12)).astype(np.float32)
+        t = np.array([0, 3, 50, 99])
+
+        got, _ = d._vb_terms_bpd(jnp.asarray(out), jnp.asarray(x0),
+                                 jnp.asarray(xt), jnp.asarray(t))
+
+        # reference layout is NCHW with the var half in channel dim
+        def nchw(a):
+            return torch.from_numpy(np.moveaxis(a, -1, 1).copy())
+
+        ref_out = ref._vb_terms_bpd(
+            model=lambda *a, **k: nchw(out), x_start=nchw(x0), x_t=nchw(xt),
+            t=torch.from_numpy(t), clip_denoised=False)['output']
+        np.testing.assert_allclose(np.asarray(got), ref_out.numpy(),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_hybrid_training_losses_match_reference(self):
+        import torch
+        gd, ref = self._ref_diffusion()
+        d = make_diffusion(steps=100, mean_type='eps',
+                           var_type='learned_range',
+                           loss_type='rescaled_mse')
+        rng = np.random.default_rng(1)
+        x0 = rng.standard_normal((4, 8, 8, 6)).astype(np.float32) * 0.5
+        noise = rng.standard_normal((4, 8, 8, 6)).astype(np.float32)
+        t = np.array([0, 7, 42, 99])
+        modout = rng.standard_normal((4, 8, 8, 12)).astype(np.float32)
+
+        got = d.training_losses(
+            lambda xt, tt: jnp.asarray(modout), jnp.asarray(x0),
+            jnp.asarray(t), jax.random.PRNGKey(0))
+        # recompute with the SAME noise the jax path drew
+        xt = d.q_sample(jnp.asarray(x0), jnp.asarray(t),
+                        jax.random.normal(jax.random.PRNGKey(0), x0.shape))
+        n_used = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(0), x0.shape))
+
+        def nchw(a):
+            return torch.from_numpy(np.moveaxis(np.asarray(a), -1, 1).copy())
+
+        # NOTE: the reference's own RESCALED_MSE+LEARNED_RANGE branch is
+        # un-runnable as written (its frozen_out lambda at
+        # gaussian_diffusion.py:1114 rejects the ``c=`` kwarg
+        # p_mean_variance passes) — assemble the same expectation from
+        # its _vb_terms_bpd + the MSE definition instead.
+        vb_ref = ref._vb_terms_bpd(
+            model=lambda *a, **k: nchw(modout), x_start=nchw(x0),
+            x_t=nchw(np.asarray(xt)), t=torch.from_numpy(t),
+            clip_denoised=False)['output'] * (100 / 1000.0)
+        mean_half = modout[..., :6]
+        mse_ref = np.mean((n_used - mean_half)**2, axis=(1, 2, 3))
+        np.testing.assert_allclose(np.asarray(got['loss']),
+                                   (vb_ref.numpy() + mse_ref),
+                                   rtol=2e-4, atol=2e-5)
+        assert 'vb' in got   # hybrid: vb head trains
+
+    def test_vb_freezes_mean_head(self):
+        """The VLB term must not move the mean prediction (frozen_out)."""
+        d = make_diffusion(steps=50, mean_type='eps',
+                           var_type='learned_range', loss_type='rescaled_mse')
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 2))
+        t = jnp.array([3, 40])
+
+        def vb_of(out_flat):
+            out = out_flat.reshape(2, 4, 4, 4)
+            terms = d.training_losses(lambda xt, tt: out, x0, t,
+                                      jax.random.PRNGKey(1))
+            return terms['vb'].sum()
+
+        out0 = jax.random.normal(jax.random.PRNGKey(2), (2 * 4 * 4 * 4,))
+        g = jax.grad(vb_of)(out0).reshape(2, 4, 4, 4)
+        mean_g, var_g = np.split(np.asarray(g), 2, axis=-1)
+        assert np.abs(mean_g).max() == 0.0, 'vb leaked into the mean head'
+        assert np.abs(var_g).max() > 0.0, 'vb does not train the var head'
+
+    def test_bpd_loop_perfect_model(self):
+        """An oracle eps model drives per-step KL ≈ 0 (decoder NLL and
+        prior bpd remain); total_bpd must beat a garbage model."""
+        # steps=50 keeps the scaled linear schedule's β_end < 1 (at ≤20
+        # steps β_end hits 1.0, ᾱ_T = 0 and eps→x0 is singular — the
+        # reference shares this property; real configs use T ≥ 1000).
+        d = make_diffusion(steps=50, mean_type='eps')
+        x0 = jnp.clip(jax.random.normal(jax.random.PRNGKey(0),
+                                        (2, 4, 4, 2)) * 0.3, -1, 1)
+
+        class Oracle:
+            def __init__(self, diff, x_start):
+                self.d, self.x0 = diff, x_start
+
+            def __call__(self, xt, t_scaled):
+                t = t_scaled.astype(jnp.int32)
+                return self.d.predict_eps_from_xstart(xt, t, self.x0)
+
+        good = d.calc_bpd_loop(Oracle(d, x0), x0, jax.random.PRNGKey(1))
+        bad = d.calc_bpd_loop(lambda xt, t: jnp.zeros_like(xt) + 3.0,
+                              x0, jax.random.PRNGKey(1))
+        assert np.all(np.asarray(good['total_bpd'])
+                      < np.asarray(bad['total_bpd']))
+        # oracle KL terms vanish for t>0
+        assert float(np.asarray(good['vb'])[:, 1:].max()) < 1e-3
