@@ -188,6 +188,62 @@ def make_clip_feature_fn(batch_size: int = 32) -> FeatureFn:
     return fn
 
 
+def make_inception_feature_fn(weights=None, batch_size: int = 32
+                              ) -> FeatureFn:
+    """Reference-protocol extractor: FID InceptionV3 pool3 (2048-d) +
+    1008-way logits + ``mixed_6/conv`` spatial features for sFID
+    (``evaluations/evaluator.py:20-66``; arch in
+    ``evaluation/inception.py``).
+
+    ``weights``: path to a torch state dict (pytorch-fid
+    ``pt_inception-2015-12-05`` / torchvision layout) or an
+    already-converted flax param tree; random init otherwise (wall-clock
+    identical, metric values not comparable until weights drop in).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .inception import (InceptionV3, convert_inception_state_dict,
+                            preprocess_uint8)
+
+    model = InceptionV3()
+    if weights is None:
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 299, 299, 3)))['params']
+    elif isinstance(weights, (str, bytes)):
+        import torch
+        sd = torch.load(weights, map_location='cpu')
+        if hasattr(sd, 'state_dict'):
+            sd = sd.state_dict()
+        params = convert_inception_state_dict(
+            {k: v.numpy() for k, v in sd.items()})
+    else:
+        params = weights
+
+    @jax.jit
+    def fwd(x):
+        out, inter = model.apply({'params': params}, x,
+                                 mutable=['intermediates'])
+        # TF ``mixed_6/conv:0`` ≙ Mixed_6d's first conv, first 7 channels
+        # (7·17² = 2023 dims — the sFID feature size).
+        sp = inter['intermediates']['Mixed_6d']['branch1x1']['conv_out'][0]
+        spatial = sp[..., :7].reshape(x.shape[0], -1)
+        return out['pool3'], out['logits'], spatial
+
+    def fn(images: np.ndarray):
+        feats, logits, spatials = [], [], []
+        for i in range(0, len(images), batch_size):
+            chunk = preprocess_uint8(jnp.asarray(images[i:i + batch_size]))
+            f, l, s = fwd(chunk)
+            feats.append(np.asarray(f))
+            logits.append(np.asarray(l))
+            spatials.append(np.asarray(s))
+        return (np.concatenate(feats), np.concatenate(logits),
+                np.concatenate(spatials))
+
+    return fn
+
+
 def evaluate_npz(ref_npz: str, sample_npz: str,
                  feature_fn: Optional[FeatureFn] = None) -> EvalResult:
     """Reference CLI semantics: ``evaluator.py ref.npz sample.npz`` where
