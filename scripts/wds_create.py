@@ -25,30 +25,53 @@ def main():
     parser.add_argument('--resolution', type=int, default=256)
     parser.add_argument('--maxcount', type=int, default=64)
     parser.add_argument('--source', default='synthetic',
-                        choices=['synthetic', 'directory'])
-    parser.add_argument('--source_dir', default='')
+                        choices=['synthetic', 'gbuffer'])
+    parser.add_argument('--source_dir', default='',
+                        help='gbuffer: root of raw G-Objaverse instance '
+                             'dirs ({ins}/{idx:05d}/{idx:05d}.png/.json/'
+                             '_nd.exr)')
+    parser.add_argument('--captions', default='',
+                        help='gbuffer: text_captions_cap3d.json path')
+    parser.add_argument('--view_ids', default='',
+                        help="gbuffer: comma list, e.g. '25,0,9,18'")
     args = parser.parse_args()
 
     from ln3diff_tpu.data.synthetic import make_multiview_batch
     from ln3diff_tpu.data.wds import ShardWriter
 
     writer = ShardWriter(args.out, maxcount=args.maxcount)
-    for i in range(args.num_instances):
-        if args.source == 'synthetic':
+    if args.source == 'gbuffer':
+        from ln3diff_tpu.data.objaverse_raw import (Cap3DCaptions,
+                                                    MultiViewObjaverseRaw)
+        ds = MultiViewObjaverseRaw(
+            args.source_dir, resolution=args.resolution,
+            captions=Cap3DCaptions(args.captions) if args.captions
+            else None,
+            view_ids=[int(v) for v in args.view_ids.split(',')]
+            if args.view_ids else None)
+        n = 0
+        for inst in ds:
+            writer.write(f'{n:06d}', {
+                'rgb.npy': inst['rgb'].astype(np.float32),
+                'depth.npy': inst['depth'].astype(np.float32),
+                'alpha.npy': inst['alpha'].astype(np.float32),
+                'c.npy': inst['c'].astype(np.float32),
+                'caption.txt': inst['caption'],
+            })
+            n += 1
+        args.num_instances = n
+    else:
+        for i in range(args.num_instances):
             b = make_multiview_batch(args.num_views, args.resolution,
                                      args.resolution, seed=i)
             rgb01 = ((b['img_hr'] + 1) / 2).astype(np.float32)
-            sample = {
+            writer.write(f'{i:06d}', {
                 'rgb.npy': rgb01,
                 'depth.npy': b['depth'].astype(np.float32),
                 'alpha.npy': b['depth_mask'].astype(np.float32),
                 'c.npy': b['c'].astype(np.float32),
                 'caption.txt': f'a shaded sphere #{i}',
-            }
-        else:
-            raise NotImplementedError('directory source: point at raw '
-                                      'G-buffer renders')
-        writer.write(f'{i:06d}', sample)
+            })
     writer.close()
     print(f'wrote {args.num_instances} instances into '
           f'{len(writer.paths)} shard(s): {writer.paths}')
