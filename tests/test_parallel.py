@@ -93,3 +93,56 @@ def test_grad_accum_microbatch():
         batch = {'x': jnp.stack([x, x]), 'ctx': jnp.stack([ctx, ctx])}
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics['loss']))
+
+
+def test_render_rays_sharded_over_rays_matches_single_device():
+    """VERDICT #8: shard ``render_rays`` over the ray axis on the full
+    8-device mesh — the corner-packed gather + multi-operand sorts under
+    GSPMD must compile, execute, and match the single-device render."""
+    from ln3diff_tpu.render.ray_sampler import (sample_full_rays,
+                                                unpack_25d_camera)
+    from ln3diff_tpu.render.renderer import RenderOptions, render_rays
+    from ln3diff_tpu.render.camera import orbit_cameras
+
+    opts = RenderOptions(depth_resolution=8, depth_resolution_importance=8,
+                         ray_start='auto', ray_end='auto', box_warp=1.0,
+                         filter_out_of_bbox=True, deterministic=True)
+    planes = jax.random.normal(jax.random.PRNGKey(0),
+                               (1, 3, 32, 32, 8)) * 0.3
+    cams = jnp.asarray(orbit_cameras(1, 1.8, 30.0, 20.0))
+    c2w, intr = unpack_25d_camera(cams)
+    ray_o, ray_d = sample_full_rays(c2w, intr, 16)   # (1, 256, 3)
+
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (8, 16)) * 0.3
+    b1 = jnp.zeros((16,))
+    w2 = jax.random.normal(jax.random.PRNGKey(2), (16, 4)) * 0.3
+    b2 = jnp.zeros((4,))
+
+    def decoder(feats, dirs):
+        h = jax.nn.softplus(feats.mean(axis=1) @ w1 + b1)
+        out = h @ w2 + b2
+        return out[..., 1:], out[..., :1]
+
+    def run(planes, ray_o, ray_d):
+        out = render_rays(None, planes, decoder, ray_o, ray_d, opts)
+        return out.feature_samples, out.depth_samples
+
+    # single device reference
+    ref_rgb, ref_depth = jax.jit(run)(planes, ray_o, ray_d)
+
+    # rays sharded across all 8 devices (data axis)
+    mesh = make_mesh(MeshConfig(data=8))
+    with mesh:
+        ray_sharding = NamedSharding(mesh, P(None, 'data', None))
+        rep = NamedSharding(mesh, P())
+        sharded = jax.jit(
+            run,
+            in_shardings=(rep, ray_sharding, ray_sharding),
+            out_shardings=(ray_sharding, ray_sharding))
+        got_rgb, got_depth = sharded(planes, ray_o, ray_d)
+
+    np.testing.assert_allclose(np.asarray(got_rgb), np.asarray(ref_rgb),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_depth),
+                               np.asarray(ref_depth), rtol=1e-5, atol=1e-5)
+    assert np.isfinite(np.asarray(got_rgb)).all()
