@@ -267,7 +267,14 @@ class TriplaneVAE(nn.Module):
                               fused_osg=self._fused_osg() if use_fused_osg
                               else None)
         B, R = ray_origins.shape[:2]
-        res_h = res_w = int(R**0.5) if ray_origins is not None else resolution
+        if R == resolution * resolution:
+            res_h = res_w = resolution
+        else:
+            # caller-supplied ray bundle of a different square size
+            res_h = res_w = int(round(R**0.5))
+            assert res_h * res_w == R, (
+                f'render() needs a square ray bundle (R={R}); use '
+                'render_rays_flat for arbitrary bundles')
         feature_image = out.feature_samples.reshape(B, res_h, res_w, -1)
         depth_image = out.depth_samples.reshape(B, res_h, res_w, 1)
         weights = out.weights_samples.reshape(B, res_h, res_w, 1)

@@ -98,18 +98,22 @@ def tensor_parallel_rules(params, mesh: Mesh,
 
     def rule(path, p):
         names = [str(getattr(k, 'key', '')) for k in path]
-        joined = '/'.join(names)
+        # exact path-segment match: 'proj' must not catch 'cap_proj' /
+        # 'dino_proj' / patch-embed convs — substring matching silently
+        # gave those row-parallel layouts (correct under GSPMD but
+        # pessimal).
+        segs = set(names)
         if tp == 1 or p.size < min_size_to_shard or p.ndim < 2:
             return NamedSharding(mesh, P())
         is_kernel = names[-1] == 'kernel'
-        if is_kernel and any(m in joined for m in col_markers) \
+        if is_kernel and segs & set(col_markers) \
                 and p.shape[-1] % tp == 0:
             spec = [None] * p.ndim
             spec[-1] = 'tensor'
             if fsdp > 1 and p.shape[-2] % fsdp == 0:
                 spec[-2] = 'fsdp'
             return NamedSharding(mesh, P(*spec))
-        if is_kernel and any(m in joined for m in row_markers) \
+        if is_kernel and segs & set(row_markers) \
                 and p.shape[-2] % tp == 0:
             spec = [None] * p.ndim
             spec[-2] = 'tensor'

@@ -1,240 +1,227 @@
-"""KV logger: logkv / logkv_mean / dumpkvs with stdout, CSV, JSON and
-TensorBoard-style writers.
+"""Training metrics logger: ``logkv`` / ``logkv_mean`` / ``dumpkvs``.
 
-Rewrite of the reference's OpenAI-baselines logger
-(``guided_diffusion/logger.py``: formats :26-190, ``logkv:212``,
-``logkv_mean:230``, ``profile_kv:299``, ``configure:447``).  TensorBoard
-output uses flax's summary writer when available; everything else is
-dependency-free.
+API-compatible replacement for the reference's vendored OpenAI-baselines
+logger (``guided_diffusion/logger.py`` — ``logkv:212``,
+``logkv_mean:230``, ``profile_kv:299``, ``configure:447``), redesigned
+rather than ported: one ``MetricLogger`` with pluggable sink *functions*
+(stdout table, csv, jsonl, flax-tensorboard) instead of the reference's
+writer class hierarchy, and running means kept as (sum, count) pairs.
 """
 
 from __future__ import annotations
 
 import contextlib
-import datetime
+import dataclasses
 import json
 import os
-import os.path as osp
 import sys
 import time
-from collections import defaultdict
+from typing import Callable, Optional
 
-DEBUG = 10
-INFO = 20
-WARN = 30
-ERROR = 40
-DISABLED = 50
+DEBUG, INFO, WARN, ERROR, DISABLED = 10, 20, 30, 40, 50
+
+Sink = Callable[[dict], None]
 
 
-class KVWriter:
-    def writekvs(self, kvs):
-        raise NotImplementedError
+def _fmt_value(v) -> str:
+    if isinstance(v, float):
+        return f'{v:<10.5g}'
+    return str(v)
 
 
-class SeqWriter:
-    def writeseq(self, seq):
-        raise NotImplementedError
+def stdout_sink(stream=None) -> Sink:
+    """Render each dump as an aligned two-column table."""
+    stream = stream or sys.stdout
 
-
-class HumanOutputFormat(KVWriter, SeqWriter):
-    def __init__(self, filename_or_file):
-        if isinstance(filename_or_file, str):
-            self.file = open(filename_or_file, 'wt')
-            self.own_file = True
-        else:
-            self.file = filename_or_file
-            self.own_file = False
-
-    def writekvs(self, kvs):
-        key2str = {}
-        for key, val in sorted(kvs.items()):
-            valstr = f'{val:<8.3g}' if hasattr(val, '__float__') else str(val)
-            key2str[self._truncate(key)] = self._truncate(valstr)
-        if not key2str:
+    def sink(kvs: dict):
+        if not kvs:
             return
-        keywidth = max(map(len, key2str.keys()))
-        valwidth = max(map(len, key2str.values()))
-        dashes = '-' * (keywidth + valwidth + 7)
-        lines = [dashes]
-        for key, val in sorted(key2str.items(), key=lambda kv: kv[0].lower()):
-            lines.append(f'| {key}{" " * (keywidth - len(key))} '
-                         f'| {val}{" " * (valwidth - len(val))} |')
-        lines.append(dashes)
-        self.file.write('\n'.join(lines) + '\n')
-        self.file.flush()
+        rows = [(str(k), _fmt_value(v)) for k, v in sorted(kvs.items())]
+        kw = max(len(k) for k, _ in rows)
+        vw = max(len(v) for _, v in rows)
+        rule = '-' * (kw + vw + 7)
+        lines = [rule]
+        for k, v in rows:
+            lines.append(f'| {k:<{kw}} | {v:<{vw}} |')
+        lines.append(rule)
+        stream.write('\n'.join(lines) + '\n')
+        stream.flush()
 
-    @staticmethod
-    def _truncate(s, maxlen=30):
-        return s[:maxlen - 3] + '...' if len(s) > maxlen else s
-
-    def writeseq(self, seq):
-        self.file.write(' '.join(map(str, seq)) + '\n')
-        self.file.flush()
-
-    def close(self):
-        if self.own_file:
-            self.file.close()
+    return sink
 
 
-class JSONOutputFormat(KVWriter):
-    def __init__(self, filename):
-        self.file = open(filename, 'wt')
+def jsonl_sink(path: str) -> Sink:
+    fh = open(path, 'at')
 
-    def writekvs(self, kvs):
-        out = {k: float(v) if hasattr(v, '__float__') else v
-               for k, v in kvs.items()}
-        self.file.write(json.dumps(out) + '\n')
-        self.file.flush()
+    def sink(kvs: dict):
+        fh.write(json.dumps({k: float(v) if hasattr(v, '__float__') else v
+                             for k, v in kvs.items()}) + '\n')
+        fh.flush()
 
-    def close(self):
-        self.file.close()
+    return sink
 
 
-class CSVOutputFormat(KVWriter):
-    def __init__(self, filename):
-        self.file = open(filename, 'w+t')
-        self.keys = []
+def csv_sink(path: str) -> Sink:
+    """Append rows, rewriting the file when new columns appear."""
+    state = {'keys': [], 'rows': []}
 
-    def writekvs(self, kvs):
-        extra_keys = list(kvs.keys() - self.keys)
-        extra_keys.sort()
-        if extra_keys:
-            self.keys.extend(extra_keys)
-            self.file.seek(0)
-            lines = self.file.readlines()
-            self.file.seek(0)
-            self.file.write(','.join(self.keys) + '\n')
-            for line in lines[1:]:
-                self.file.write(line[:-1] + ',' * len(extra_keys) + '\n')
-        self.file.seek(0, 2)  # append
-        vals = [kvs.get(k) for k in self.keys]
-        self.file.write(','.join(
-            '' if v is None else str(float(v) if hasattr(v, '__float__')
-                                     else v) for v in vals) + '\n')
-        self.file.flush()
+    def sink(kvs: dict):
+        new = [k for k in kvs if k not in state['keys']]
+        state['keys'] += sorted(new)
+        state['rows'].append(dict(kvs))
+        with open(path, 'wt') as fh:
+            fh.write(','.join(state['keys']) + '\n')
+            for row in state['rows']:
+                fh.write(','.join(str(row.get(k, '')) for k in
+                                  state['keys']) + '\n')
 
-    def close(self):
-        self.file.close()
+    return sink
 
 
-def make_output_format(fmt, ev_dir, log_suffix=''):
-    os.makedirs(ev_dir, exist_ok=True)
-    if fmt == 'stdout':
-        return HumanOutputFormat(sys.stdout)
-    if fmt == 'log':
-        return HumanOutputFormat(osp.join(ev_dir, f'log{log_suffix}.txt'))
-    if fmt == 'json':
-        return JSONOutputFormat(osp.join(ev_dir,
-                                         f'progress{log_suffix}.json'))
-    if fmt == 'csv':
-        return CSVOutputFormat(osp.join(ev_dir, f'progress{log_suffix}.csv'))
-    raise ValueError(f'Unknown format {fmt}')
+def tensorboard_sink(log_dir: str) -> Sink:
+    from flax.metrics import tensorboard
+    writer = tensorboard.SummaryWriter(log_dir)
+    step_box = [0]
+
+    def sink(kvs: dict):
+        step = int(kvs.get('step', step_box[0]))
+        for k, v in kvs.items():
+            try:
+                writer.scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+        step_box[0] = step + 1
+
+    return sink
 
 
-class Logger:
-    CURRENT = None
-    DEFAULT = None
+_SINK_FACTORIES = {
+    'stdout': lambda d, sfx: stdout_sink(),
+    'log': lambda d, sfx: stdout_sink(open(
+        os.path.join(d, f'log{sfx}.txt'), 'at')),
+    'json': lambda d, sfx: jsonl_sink(os.path.join(
+        d, f'progress{sfx}.json')),
+    'csv': lambda d, sfx: csv_sink(os.path.join(d, f'progress{sfx}.csv')),
+    'tensorboard': lambda d, sfx: tensorboard_sink(
+        os.path.join(d, f'tb{sfx}')),
+}
 
-    def __init__(self, dir, output_formats):
-        self.name2val = defaultdict(float)
-        self.name2cnt = defaultdict(int)
-        self.level = INFO
-        self.dir = dir
-        self.output_formats = output_formats
+
+@dataclasses.dataclass
+class MetricLogger:
+    """Accumulates key→value pairs between ``dumpkvs`` calls."""
+    dir: Optional[str] = None
+    sinks: tuple = ()
+    level: int = INFO
+
+    def __post_init__(self):
+        self._pending: dict = {}
+        self._means: dict = {}      # key -> [sum, count]
+
+    # -- kv accumulation ---------------------------------------------------
 
     def logkv(self, key, val):
-        self.name2val[key] = val
+        self._pending[key] = val
 
     def logkv_mean(self, key, val):
-        oldval, cnt = self.name2val[key], self.name2cnt[key]
-        self.name2val[key] = oldval * cnt / (cnt + 1) + float(val) / (cnt + 1)
-        self.name2cnt[key] = cnt + 1
+        s, n = self._means.get(key, (0.0, 0))
+        self._means[key] = (s + float(val), n + 1)
 
-    def dumpkvs(self):
-        d = self.name2val
-        out = d.copy()
-        for fmt in self.output_formats:
-            if isinstance(fmt, KVWriter):
-                fmt.writekvs(d)
-        self.name2val.clear()
-        self.name2cnt.clear()
+    def dumpkvs(self) -> dict:
+        out = dict(self._pending)
+        out.update({k: s / n for k, (s, n) in self._means.items() if n})
+        if self.level < DISABLED:
+            for sink in self.sinks:
+                sink(out)
+        self._pending.clear()
+        self._means.clear()
         return out
 
+    # -- plain messages ----------------------------------------------------
+
     def log(self, *args, level=INFO):
-        if self.level <= level:
-            for fmt in self.output_formats:
-                if isinstance(fmt, SeqWriter):
-                    fmt.writeseq(map(str, args))
+        if level >= self.level:
+            print(*args, file=sys.stderr, flush=True)
 
     def set_level(self, level):
         self.level = level
 
     def close(self):
-        for fmt in self.output_formats:
-            if hasattr(fmt, 'close'):
-                fmt.close()
+        self.sinks = ()
 
 
-def configure(dir=None, format_strs=None, log_suffix=''):
+_DEFAULT = MetricLogger(sinks=(stdout_sink(),))
+_CURRENT = _DEFAULT
+
+
+def configure(dir: Optional[str] = None, format_strs=None,
+              log_suffix: str = '') -> MetricLogger:
+    """Install a logger writing to ``dir`` with the given sink names
+    (default: stdout + csv + jsonl when a dir is given)."""
+    global _CURRENT
     if dir is None:
-        dir = os.environ.get('LN3DIFF_LOGDIR') or osp.join(
-            '/tmp', 'ln3diff-' + datetime.datetime.now().strftime(
-                '%Y-%m-%d-%H-%M-%S'))
+        dir = os.environ.get('LN3DIFF_LOGDIR') or os.path.join(
+            os.environ.get('TMPDIR', '/tmp'),
+            time.strftime('ln3diff-%Y%m%d-%H%M%S'))
     os.makedirs(dir, exist_ok=True)
     if format_strs is None:
-        format_strs = os.environ.get('LN3DIFF_LOG_FORMAT',
-                                     'stdout,log,csv').split(',')
-    output_formats = [make_output_format(f, dir, log_suffix)
-                      for f in format_strs if f]
-    Logger.CURRENT = Logger(dir=dir, output_formats=output_formats)
-    return Logger.CURRENT
+        format_strs = ['stdout', 'csv', 'json']
+    sinks = tuple(_SINK_FACTORIES[f](dir, log_suffix) for f in format_strs)
+    _CURRENT = MetricLogger(dir=dir, sinks=sinks)
+    _CURRENT.log(f'logging to {dir}')
+    return _CURRENT
 
 
-def get_current():
-    if Logger.CURRENT is None:
-        configure(format_strs=['stdout'])
-    return Logger.CURRENT
+def get_current() -> MetricLogger:
+    return _CURRENT
 
+
+def get_dir() -> Optional[str]:
+    return _CURRENT.dir
+
+
+# -- module-level convenience (the API the trainers use) --------------------
 
 def logkv(key, val):
-    get_current().logkv(key, val)
+    _CURRENT.logkv(key, val)
 
 
 def logkv_mean(key, val):
-    get_current().logkv_mean(key, val)
+    _CURRENT.logkv_mean(key, val)
 
 
-def logkvs(d):
+def logkvs(d: dict):
     for k, v in d.items():
-        logkv(k, v)
+        _CURRENT.logkv(k, v)
 
 
-def log_loss_dict(d, prefix=''):
-    """reference ``log_rec3d_loss_dict`` (``train_util.py:510``)."""
+def log_loss_dict(d: dict, prefix: str = ''):
+    """Mean-accumulate a metrics dict (reference ``log_loss_dict``)."""
     for k, v in d.items():
-        logkv_mean(prefix + k, float(v))
+        _CURRENT.logkv_mean(prefix + k, v)
 
 
-def dumpkvs():
-    return get_current().dumpkvs()
+def dumpkvs() -> dict:
+    return _CURRENT.dumpkvs()
 
 
 def log(*args, **kwargs):
-    get_current().log(*args, **kwargs)
+    _CURRENT.log(*args, **kwargs)
 
+
+# -- lightweight profiling scopes ------------------------------------------
 
 @contextlib.contextmanager
-def profile_kv(scopename):
-    """Accumulate wall time under ``wait_<name>`` (reference :299-310)."""
-    logkey = 'wait_' + scopename
-    tstart = time.time()
+def profile_kv(scopename: str):
+    """Accumulate wall-time under ``wait_<scope>`` (mean across calls)."""
+    t0 = time.perf_counter()
     try:
         yield
     finally:
-        get_current().name2val[logkey] += time.time() - tstart
+        _CURRENT.logkv_mean('wait_' + scopename, time.perf_counter() - t0)
 
 
-def profile(n):
+def profile(n: str):
     def decorator(func):
         def wrapper(*args, **kwargs):
             with profile_kv(n):
