@@ -43,7 +43,10 @@ def main():
     num_frames = 24
     mesh_grid = 192
 
-    den_cfg = denoiser_preset('t23d-dit-l2')
+    # serving mode: tanh-approximate MLP GELU (≤1e-3 abs deviation,
+    # subsumed by the bf16 compute noise; 1.6 ms/step cheaper on v5e).
+    den_cfg = dataclasses.replace(denoiser_preset('t23d-dit-l2'),
+                                  exact_gelu=False)
     denoiser = DiT_TriLatent(den_cfg)
     vae_cfg = vae_preset('objaverse')   # DiT2-L/2 decoder (release arch)
     vae = TriplaneVAE(vae_cfg)

@@ -158,6 +158,11 @@ def denoiser_preset(name: str, dtype=jnp.bfloat16):
     if name == 'i23d-pixart-l2':      # objaverse image→3D flow matching
         return dit_registry('DiT-I23D-L/2', input_size=32, in_channels=4,
                             dtype=dtype)
+    if name == 'mv23d-dit-l2':        # objaverse multi-view→3D FM
+        # release arch DiT-PixArt-MV-L/2 = MVCond_noClip: flattened MV
+        # DINO tokens via cross-attn (sample_obajverse_mv23d_dit.sh:88).
+        return dit_registry('DiT-PixArt-MV-L/2', input_size=32,
+                            in_channels=4, dtype=dtype)
     if name == 'shapenet-unet':       # ShapeNet/FFHQ LSGM U-Net 320ch
         # release flags (sample_shapenet_car_t23d.sh:69-88): num_channels
         # 320, attention_resolutions "4,2,1" @ input 32 → ds 8 only,
@@ -168,6 +173,96 @@ def denoiser_preset(name: str, dtype=jnp.bfloat16):
                           use_spatial_transformer=True, context_dim=768,
                           roll_out=True, mixed_prediction=True, dtype=dtype)
     raise KeyError(name)
+
+
+# ---------------------------------------------------------------------------
+# release presets — one entry per reference final-release shell script
+# (``shell_scripts/final_release/{inference,train}``); each resolves to a
+# full ExperimentConfig via release_preset().
+# ---------------------------------------------------------------------------
+
+RELEASE_PRESETS: dict[str, dict] = {
+    # --- inference -------------------------------------------------------
+    # sample_obajverse_t23d_dit.sh: DiT-L/2 text→3D, ddim250, cfg 6.5
+    'objaverse/t23d-dit': dict(
+        dataset='objaverse', vae='objaverse', denoiser='t23d-dit-l2',
+        objective='ddpm', triplane_scaling_divider=0.96806,
+        cfg_scale=6.5, sample_steps=250, sampler='ddim',
+        cfg='objverse_tuneray_aug_resolution_64_64_auto'),
+    # sample_obajverse_i23d_dit.sh: PixArt-L/2 image→3D, flow matching,
+    # cfg 4.0
+    'objaverse/i23d-dit': dict(
+        dataset='objaverse', vae='objaverse', denoiser='i23d-pixart-l2',
+        objective='flow_matching', triplane_scaling_divider=0.96806,
+        cfg_scale=4.0, sample_steps=250, sampler='flow_matching',
+        cfg='objverse_tuneray_aug_resolution_64_64_auto'),
+    # sample_obajverse_mv23d_dit.sh: MV-L/2 multi-view→3D, flow matching
+    'objaverse/mv23d-dit': dict(
+        dataset='objaverse', vae='objaverse', denoiser='mv23d-dit-l2',
+        objective='flow_matching', triplane_scaling_divider=0.96806,
+        cfg_scale=4.0, sample_steps=250, sampler='flow_matching',
+        cfg='objverse_tuneray_aug_resolution_64_64_auto'),
+    # sample_obajverse.sh: older LDM text→3D release (divider 0.88)
+    'objaverse/t23d-ldm': dict(
+        dataset='objaverse', vae='objaverse', denoiser='t23d-dit-l2',
+        objective='ddpm', triplane_scaling_divider=0.88,
+        cfg_scale=6.5, sample_steps=250, sampler='ddim',
+        cfg='objverse_tuneray_aug_resolution_64_64_auto'),
+    # sample_shapenet_{car,chair,plane}_t23d.sh: U-Net LSGM, cfg 1.0;
+    # the CLIP-text conditioned samplers scale latents by 18.4
+    # (--triplane_scaling_divider 1 composes with the latent-std scale
+    # in the release sampler; see scripts/vit_triplane_diffusion_sample)
+    **{f'shapenet/{cls}-t23d': dict(
+        dataset='shapenet', vae='shapenet', denoiser='shapenet-unet',
+        objective='vpsde', triplane_scaling_divider=1.0,
+        cfg_scale=1.0, sample_steps=250, sampler='ddim',
+        cfg='shapenet_tuneray_aug_resolution_64_64_nearestSR',
+        dataset_class=cls) for cls in ('car', 'chair', 'plane')},
+    # sample_ffhq_t23d.sh: FFHQ 4XC_final VAE + U-Net, cfg 6.5
+    'ffhq/t23d': dict(
+        dataset='ffhq', vae='ffhq', denoiser='shapenet-unet',
+        objective='vpsde', triplane_scaling_divider=1.0,
+        cfg_scale=6.5, sample_steps=250, sampler='ddim', cfg='ffhq'),
+    # vae_reconstruction.sh / vae_xl_reconstruction.sh
+    'objaverse/vae-rec': dict(
+        dataset='objaverse', vae='objaverse', denoiser='t23d-dit-l2',
+        objective='reconstruction',
+        cfg='objverse_tuneray_aug_resolution_64_64_auto'),
+    # --- training --------------------------------------------------------
+    # train/stage-1-vae/Objaverse/mv-75k-addDepth_disc.sh (8×A100)
+    'train/objaverse-vae': dict(
+        dataset='objaverse', vae='objaverse', objective='reconstruction',
+        lr=1e-4, batch_size=8, patch_rendering_resolution=32,
+        cfg='objverse_tuneray_aug_resolution_64_64_auto'),
+    # train/stage-2-diffusion/objaverse-dit.sh (DiT on extracted latents)
+    'train/objaverse-dit': dict(
+        dataset='objaverse', vae='objaverse', denoiser='t23d-dit-l2',
+        objective='flow_matching', lr=1e-4, batch_size=20,
+        triplane_scaling_divider=0.96806,
+        cfg='objverse_tuneray_aug_resolution_64_64_auto'),
+    # train/stage-1-vae/ShapeNet/{car,chair,plane}_vae.sh
+    **{f'train/shapenet-{cls}-vae': dict(
+        dataset='shapenet', vae='shapenet', objective='reconstruction',
+        lr=1e-4, batch_size=8,
+        cfg='shapenet_tuneray_aug_resolution_64_64_nearestSR',
+        dataset_class=cls) for cls in ('car', 'chair', 'plane')},
+    # train/stage-2-diffusion/shapenet_cldm (joint LSGM)
+    'train/shapenet-lsgm': dict(
+        dataset='shapenet', vae='shapenet', denoiser='shapenet-unet',
+        objective='vpsde_joint', lr=1e-4,
+        cfg='shapenet_tuneray_aug_resolution_64_64_nearestSR'),
+}
+
+
+def release_preset(name: str) -> 'ExperimentConfig':
+    """Resolve a release-preset name to an ExperimentConfig (unknown
+    extra keys — cfg_scale/sampler/… — land in ``extras``)."""
+    spec = dict(RELEASE_PRESETS[name])
+    fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    extras = {k: spec.pop(k) for k in list(spec) if k not in fields}
+    cfg = ExperimentConfig(**spec)
+    cfg.extras = extras
+    return cfg
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +288,9 @@ class ExperimentConfig:
     save_interval: int = 10000
     log_interval: int = 10
     resume_checkpoint: str = ''
+    dataset_class: str = ''           # shapenet car/chair/plane
+    # sampler extras carried by release presets (cfg_scale, sampler, ...)
+    extras: dict = dataclasses.field(default_factory=dict)
 
     def render_opts(self) -> RenderOptions:
         return RENDER_PRESETS[self.cfg]
@@ -210,6 +308,8 @@ def add_config_to_argparser(parser: argparse.ArgumentParser,
     for f in dataclasses.fields(cfg):
         default = getattr(cfg, f.name)
         ftype = type(default)
+        if ftype is dict:          # preset extras — not a CLI surface
+            continue
         if ftype is bool:
             parser.add_argument(f'--{f.name}', default=default,
                                 type=lambda s: s.lower() in

@@ -223,6 +223,12 @@ class DiTBlock(nn.Module):
                            cross-attn to clip tokens
                            (ImageCondDiTBlockPixelArt; qk_norm).
       * 'image-pixelart-noclip' — same minus the cross-attn.
+      * 'mv-pixelart'    — multi-view image conditioning: shared adaLN,
+                           plain self-attn, cross-attn over flattened MV
+                           DINO tokens, rmsnorm + qk_norm (reference
+                           ImageCondDiTBlockPixelArtRMSNormNoClip,
+                           ``dit_models_xformers.py:541-636`` — the
+                           'DiT-PixArt-MV-L/2' mv23d release arch).
     ``token_modulation=True`` gives DiT2's modulate2 semantics where the
     conditioning is per-token (B, L, D) rather than pooled (B, D).
     """
@@ -232,14 +238,19 @@ class DiTBlock(nn.Module):
     variant: str = 'adaln'
     context_dim: Optional[int] = None
     token_modulation: bool = False
+    # exact erf-GELU matches the reference bit-for-bit; serving paths may
+    # opt into the tanh approximation (≤1e-3 abs, subsumed by bf16
+    # compute noise) — measured 1.6 ms/step cheaper on DiT-L/2 @ v5e.
+    exact_gelu: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, c, context=None, dino_tokens=None):
         pixelart = self.variant in ('pixelart-text', 'image-pixelart',
-                                    'image-pixelart-noclip')
-        use_rmsnorm = self.variant == 'pixelart-text'
-        qk_norm = self.variant.startswith('image-')
+                                    'image-pixelart-noclip', 'mv-pixelart')
+        use_rmsnorm = self.variant in ('pixelart-text', 'mv-pixelart')
+        qk_norm = self.variant.startswith('image-') \
+            or self.variant == 'mv-pixelart'
 
         def norm(name):
             if use_rmsnorm:
@@ -278,7 +289,8 @@ class DiTBlock(nn.Module):
             h = attn(h)
         x = x + gate_msa * h
 
-        if self.variant in ('text', 'pixelart-text', 'image-pixelart'):
+        if self.variant in ('text', 'pixelart-text', 'image-pixelart',
+                            'mv-pixelart'):
             assert context is not None
             ctx = context
             if self.variant == 'pixelart-text':
@@ -290,7 +302,8 @@ class DiTBlock(nn.Module):
 
         h = t2i_modulate(norm('norm2')(x), shift_mlp, scale_mlp)
         x = x + gate_mlp * GeluMLP(self.mlp_ratio, dtype=self.dtype,
-                                   exact_gelu=True, name='mlp')(h)
+                                   exact_gelu=self.exact_gelu,
+                                   name='mlp')(h)
         return x
 
 
@@ -365,6 +378,8 @@ class DiTConfig:
     # ``dit_models_xformers.py:712-714``; all released LN3Diff configs
     # pass --learn_sigma False — enable for learned_range VLB training)
     learn_sigma: bool = False
+    # serving mode: tanh-approximate MLP GELU (see DiTBlock.exact_gelu)
+    exact_gelu: bool = True
     dtype: Any = jnp.bfloat16
 
 
@@ -412,7 +427,16 @@ class DiT_TriLatent(nn.Module):
 
         crossattn = context.get('crossattn') if context else None
         dino = context.get('dino') if context else None
-        if crossattn is not None and cfg.variant == 'text':
+        if cfg.variant == 'mv-pixelart':
+            # multi-view DINO spatial features (B, V, L, C) flatten into
+            # one cross-attn context (reference MVCond_noClip forward:
+            # ``rearrange(context['concat'], 'b v l c -> b (v l) c')``);
+            # raw 768-d features — the cross-attn KV projections embed.
+            mv = context.get('concat', crossattn)
+            if mv.ndim == 4:
+                mv = mv.reshape(mv.shape[0], -1, mv.shape[-1])
+            crossattn = mv.astype(dtype)
+        elif crossattn is not None and cfg.variant == 'text':
             crossattn = CaptionEmbedder(
                 cfg.hidden_size, context_dim=cfg.context_dim, dtype=dtype,
                 name='clip_text_proj')(crossattn.astype(dtype))
@@ -427,7 +451,7 @@ class DiT_TriLatent(nn.Module):
                                    name='dino_proj')(dino.astype(dtype))
 
         pixelart = cfg.variant in ('pixelart-text', 'image-pixelart',
-                                   'image-pixelart-noclip')
+                                   'image-pixelart-noclip', 'mv-pixelart')
         if pixelart:
             # Single shared adaLN over all blocks.
             c = _zero_linear(6 * cfg.hidden_size, dtype,
@@ -444,6 +468,7 @@ class DiT_TriLatent(nn.Module):
                 x = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
                              variant=cfg.variant,
                              context_dim=cfg.context_dim,
+                             exact_gelu=cfg.exact_gelu,
                              dtype=dtype, name='block')(
                                  x, c, context=crossattn, dino_tokens=dino)
                 return x, None
@@ -498,6 +523,14 @@ def dit_registry(name: str, **overrides) -> DiTConfig:
                              num_heads=12, variant='image-pixelart',
                              context_dim=1024, pooled_vector_dim=768,
                              t2i_final=True),
+        # mv23d: multi-view DINO tokens via cross-attn, no CLIP
+        # (reference registry dit/dit_i23d.py:693 — MVCond_noClip).
+        'DiT-PixArt-MV-L/2': dict(depth=24, hidden_size=1024, patch_size=2,
+                                  num_heads=16, variant='mv-pixelart',
+                                  context_dim=768),
+        'DiT-PixArt-MV-B/2': dict(depth=12, hidden_size=768, patch_size=2,
+                                  num_heads=12, variant='mv-pixelart',
+                                  context_dim=768),
     }
     kw = dict(presets[name])
     kw.update(overrides)

@@ -32,9 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# points per kernel instance: (3, TILE, 4C) f32 = 3*512*128*4 B = 768 KiB
-# in VMEM with double buffering — comfortably under the ~16 MiB budget.
-TILE = 512
+# points per kernel instance.  TILE=512 measured latency-bound on v5e
+# (4.6k grid steps/frame at ~8 µs each → 36.5 ms/frame); TILE=1024 halves
+# the step count and feeds the MXU (1024, 32)·(32, 64) tiles.  2048 OOMs
+# scoped VMEM (26 MiB with the in-kernel f32 widen + double buffering vs
+# the 16 MiB limit).
+TILE = 1024
 
 
 def _sigmoid_clamp(rgb):
@@ -42,7 +45,7 @@ def _sigmoid_clamp(rgb):
 
 
 def osg_pointwise_reference(rows, tx, ty, live, w1, b1, w2, b2,
-                            activation: str = 'sigmoid'):
+                            activation: str = 'sigmoid', inbox=None):
     """Pure-jnp reference of the fused pipeline.
 
     Args:
@@ -51,6 +54,8 @@ def osg_pointwise_reference(rows, tx, ty, live, w1, b1, w2, b2,
         sample — the zero-padding ring of the packed table).
       w1, b1, w2, b2: OSG MLP params with any equalized-lr scaling
         already folded in; w1 (C, H), w2 (H, 1+C_out).
+      inbox: optional (M,) bbox mask — folds the renderer's
+        ``filter_out_of_bbox`` select (σ→-1e10, rgb→0) into the pipeline.
     Returns:
       rgb (M, C_out), sigma (M, 1).
     """
@@ -73,11 +78,16 @@ def osg_pointwise_reference(rows, tx, ty, live, w1, b1, w2, b2,
         rgb = _sigmoid_clamp(rgb)
     elif activation == 'lrelu':
         rgb = jax.nn.leaky_relu(rgb, 0.2) * jnp.sqrt(2.0)
+    if inbox is not None:
+        m = inbox[:, None]
+        sigma = jnp.where(m > 0, sigma, jnp.asarray(-1e10, sigma.dtype))
+        rgb = rgb * m
     return rgb, sigma
 
 
-def _kernel(rows_ref, tx_ref, ty_ref, live_ref, w1_ref, b1_ref, w2_ref,
-            b2_ref, rgb_ref, sigma_ref, *, activation: str):
+def _kernel(rows_ref, tx_ref, ty_ref, live_ref, inbox_ref, w1_ref, b1_ref,
+            w2_ref, b2_ref, rgb_ref, sigma_ref, *, activation: str,
+            use_inbox: bool):
     C = w1_ref.shape[0]
     # rows arrive in their native dtype (bf16 on inference surfaces) and
     # widen HERE, in VMEM — casting at the pallas_call boundary would
@@ -99,27 +109,36 @@ def _kernel(rows_ref, tx_ref, ty_ref, live_ref, w1_ref, b1_ref, w2_ref,
     h = jax.nn.softplus(h + b1_ref[:])
     out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[:]
-    sigma_ref[:] = out[:, :1]
+    sigma = out[:, :1]
     rgb = out[:, 1:]
     if activation == 'sigmoid':
         rgb = _sigmoid_clamp(rgb)
     elif activation == 'lrelu':
         rgb = jax.nn.leaky_relu(rgb, 0.2) * jnp.sqrt(2.0)
+    if use_inbox:
+        # renderer filter_out_of_bbox folded in: saves a separate
+        # (M, C+1) HBM select round-trip after the kernel.
+        m = inbox_ref[0][:, None]
+        sigma = jnp.where(m > 0, sigma, -1e10)
+        rgb = rgb * m
+    sigma_ref[:] = sigma
     rgb_ref[:] = rgb
 
 
 @functools.partial(jax.jit, static_argnames=('activation', 'interpret'))
 def osg_pointwise_fused(rows, tx, ty, live, w1, b1, w2, b2,
                         activation: str = 'sigmoid',
-                        interpret: bool = False):
+                        interpret: bool = False, inbox=None):
     """Pallas-fused pipeline; same contract as the reference fn.
 
     M is padded to a TILE multiple internally (padded tail has live=0).
+    ``inbox`` (M,) optionally folds the bbox filter into the kernel.
     """
     n_planes, M, fourC = rows.shape
     C = fourC // 4
     H = w1.shape[1]
     C_out = w2.shape[1] - 1
+    use_inbox = inbox is not None
     Mp = -(-M // TILE) * TILE
     if Mp != M:
         pad = ((0, 0), (0, Mp - M), (0, 0))
@@ -127,31 +146,52 @@ def osg_pointwise_fused(rows, tx, ty, live, w1, b1, w2, b2,
         tx = jnp.pad(tx, pad[:2])
         ty = jnp.pad(ty, pad[:2])
         live = jnp.pad(live, pad[:2])
+        if use_inbox:
+            inbox = jnp.pad(inbox, (0, Mp - M))
     b1 = b1.reshape(1, H)
     b2 = b2.reshape(1, 1 + C_out)
 
+    pt_spec = pl.BlockSpec((n_planes, TILE), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((n_planes, TILE, fourC), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pt_spec, pt_spec, pt_spec,
+    ]
+    operands = [rows, tx.astype(jnp.float32), ty.astype(jnp.float32),
+                live.astype(jnp.float32)]
+    if use_inbox:
+        in_specs.append(pl.BlockSpec((1, TILE), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(inbox.astype(jnp.float32).reshape(1, Mp))
+    in_specs += [
+        pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, 1 + C_out), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1 + C_out), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [w1.astype(jnp.float32), b1.astype(jnp.float32),
+                 w2.astype(jnp.float32), b2.astype(jnp.float32)]
+
+    def kernel(*refs):
+        if use_inbox:
+            (rows_r, tx_r, ty_r, live_r, inbox_r,
+             w1_r, b1_r, w2_r, b2_r, rgb_r, sig_r) = refs
+        else:
+            (rows_r, tx_r, ty_r, live_r,
+             w1_r, b1_r, w2_r, b2_r, rgb_r, sig_r) = refs
+            inbox_r = None
+        _kernel(rows_r, tx_r, ty_r, live_r, inbox_r, w1_r, b1_r, w2_r,
+                b2_r, rgb_r, sig_r, activation=activation,
+                use_inbox=use_inbox)
+
     grid = (Mp // TILE,)
     rgb, sigma = pl.pallas_call(
-        functools.partial(_kernel, activation=activation),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((n_planes, TILE, fourC), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_planes, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_planes, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_planes, TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, H), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 1 + C_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1 + C_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((TILE, C_out), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -163,10 +203,7 @@ def osg_pointwise_fused(rows, tx, ty, live, w1, b1, w2, b2,
             jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(rows, tx.astype(jnp.float32),
-      ty.astype(jnp.float32), live.astype(jnp.float32),
-      w1.astype(jnp.float32), b1.astype(jnp.float32),
-      w2.astype(jnp.float32), b2.astype(jnp.float32))
+    )(*operands)
     return rgb[:M], sigma[:M]
 
 
@@ -185,9 +222,10 @@ class FusedOSG:
     interpret: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
 
-    def __call__(self, rows, tx, ty, live):
+    def __call__(self, rows, tx, ty, live, inbox=None):
         """Apply to batched gather output: rows (B, 3, M, 4C) →
-        rgb (B, M, C_out), sigma (B, M, 1)."""
+        rgb (B, M, C_out), sigma (B, M, 1).  ``inbox`` (B, M) folds the
+        bbox filter in (σ→-1e10, rgb→0 outside)."""
         if jax.default_backend() != 'tpu' and not self.interpret:
             # Pallas TPU kernels don't lower on CPU/GPU — use the jnp
             # reference (identical math; keeps CPU dryruns working).
@@ -202,9 +240,15 @@ class FusedOSG:
                                    activation=self.activation,
                                    interpret=self.interpret)
         if rows.shape[0] == 1:
-            rgb, sigma = fn(rows[0], tx[0], ty[0], live[0])
+            rgb, sigma = fn(rows[0], tx[0], ty[0], live[0],
+                            inbox=None if inbox is None else inbox[0])
             return rgb[None], sigma[None]
-        rgb, sigma = jax.vmap(fn)(rows, tx, ty, live)
+        if inbox is None:
+            rgb, sigma = jax.vmap(fn)(rows, tx, ty, live)
+        else:
+            rgb, sigma = jax.vmap(
+                lambda r, x, y, l, m: fn(r, x, y, l, inbox=m))(
+                    rows, tx, ty, live, inbox)
         return rgb, sigma
 
 

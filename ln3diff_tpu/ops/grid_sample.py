@@ -48,7 +48,9 @@ def grid_sample_2d(features: jax.Array, coords: jax.Array) -> jax.Array:
     def corner(yi, xi, w):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-        f = jnp.take(flat, idx, axis=0)
+        # idx is pre-clamped; mode='clip' skips the fill-mode validity
+        # select XLA otherwise emits over the gathered rows.
+        f = jnp.take(flat, idx, axis=0, mode='clip')
         return f * (w * valid.astype(features.dtype))[:, None]
 
     out = corner(y0i, x0i, (1 - tx) * (1 - ty))
@@ -99,7 +101,7 @@ def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:
                  & (zi >= 0) & (zi < D))
         idx = ((jnp.clip(zi, 0, D - 1) * H + jnp.clip(yi, 0, H - 1)) * W
                + jnp.clip(xi, 0, W - 1))
-        f = jnp.take(flat, idx, axis=0)
+        f = jnp.take(flat, idx, axis=0, mode='clip')
         return f * (w * valid.astype(grid.dtype))[:, None]
 
     out = corner(z0i, y0i, x0i, (1 - tx) * (1 - ty) * (1 - tz))

@@ -151,7 +151,9 @@ class TextTo3DPipeline:
         if frames_per_call is None:
             C = planes.shape[-1]
             res = render_resolution or 128
-            bytes_per_frame = 3 * res * res * samples_per_ray * 4 * C * 4
+            itemsize = jnp.dtype(planes.dtype).itemsize  # bf16 rows = 2 B
+            bytes_per_frame = (3 * res * res * samples_per_ray * 4 * C
+                               * itemsize)
             frames_per_call = max(1, int(hbm_budget_bytes
                                          // bytes_per_frame))
             frames_per_call = min(frames_per_call, num_frames)

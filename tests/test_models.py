@@ -180,3 +180,50 @@ class TestTriplaneVAE:
         assert all(np.isfinite(np.asarray(x)).all() for x in flat)
         total = sum(float(jnp.abs(x).sum()) for x in flat)
         assert total > 0
+
+
+class TestMVDiT:
+
+    def test_mv_pixelart_forward(self):
+        """mv23d release arch (DiT-PixArt-MV): flattened multi-view DINO
+        tokens via cross-attn, rmsnorm + qk_norm, no CLIP towers."""
+        from ln3diff_tpu.models.dit import DiT_TriLatent, dit_registry
+        cfg = dit_registry('DiT-PixArt-MV-B/2', input_size=8,
+                           in_channels=4, depth=2, hidden_size=32,
+                           num_heads=2, context_dim=16,
+                           dtype=jnp.float32)
+        model = DiT_TriLatent(cfg)
+        x = jnp.ones((2, 8, 8, 12))
+        ctx = {'concat': jnp.ones((2, 4, 6, 16))}   # (B, V, L, C) MV dino
+        variables = model.init(jax.random.PRNGKey(0), x, jnp.ones((2,)),
+                               ctx)
+        # nudge off the adaLN-zero init saddle (zero final layer makes
+        # the output constant at init, as in the reference)
+        leaves, treedef = jax.tree_util.tree_flatten(variables)
+        keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+        variables = treedef.unflatten([
+            l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+            if jnp.issubdtype(l.dtype, jnp.floating) else l
+            for l, k in zip(leaves, keys)])
+        out = model.apply(variables, x, jnp.ones((2,)), ctx)
+        assert out.shape == x.shape and out.dtype == jnp.float32
+        assert np.isfinite(np.asarray(out)).all()
+        # conditioning reaches the output (cross-attn live)
+        out2 = model.apply(variables, x, jnp.ones((2,)),
+                           {'concat': jnp.zeros((2, 4, 6, 16))})
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+class TestReleasePresets:
+
+    def test_all_release_presets_resolve(self):
+        from ln3diff_tpu.config import (RELEASE_PRESETS, denoiser_preset,
+                                        release_preset, vae_preset,
+                                        RENDER_PRESETS)
+        assert len(RELEASE_PRESETS) >= 15
+        for name in RELEASE_PRESETS:
+            cfg = release_preset(name)
+            assert cfg.cfg in RENDER_PRESETS, (name, cfg.cfg)
+            vae_preset(cfg.vae)              # must construct
+            if cfg.objective != 'reconstruction':
+                denoiser_preset(cfg.denoiser)
