@@ -673,3 +673,25 @@ def convert_joint_shapenet(sd: Mapping, unet_cfg,
                                     fusion_depth=fusion_depth,
                                     encoder_depth=encoder_depth),
     }
+
+
+def convert_mapping_network(sd: Mapping, num_layers: int = 8,
+                            prefix: str = '') -> dict:
+    """StyleGAN2 MappingNetwork (``nsr/networks_stylegan2.py:246``):
+    fc{i}.weight (O, I) → EqualDense kernels (I, O); tracked w_avg goes
+    to the 'stats' collection (returned under '_w_avg')."""
+    p = prefix
+    out = {}
+    for i in range(num_layers):
+        out[f'fc{i}'] = {
+            'kernel': np.transpose(_np(sd[f'{p}fc{i}.weight']), (1, 0)),
+            'bias': _np(sd[f'{p}fc{i}.bias']),
+        }
+    if f'{p}embed.weight' in sd:
+        out['embed'] = {
+            'kernel': np.transpose(_np(sd[f'{p}embed.weight']), (1, 0)),
+            'bias': _np(sd[f'{p}embed.bias']),
+        }
+    if f'{p}w_avg' in sd:
+        out['_w_avg'] = _np(sd[f'{p}w_avg'])
+    return out

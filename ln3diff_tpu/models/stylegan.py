@@ -317,6 +317,63 @@ class SuperresolutionHybrid8XDC(nn.Module):
         return rgb
 
 
+class MappingNetwork(nn.Module):
+    """z (+ optional label c) → broadcast w latents (reference
+    ``nsr/networks_stylegan2.py:246-334``): 2nd-moment-normalized inputs,
+    ``num_layers`` equalized-lr lrelu FCs at lr_mul 0.01, tracked ``w_avg``
+    for truncation.  ``w_avg`` lives in the 'stats' collection; call with
+    ``mutable=['stats']`` and ``update_emas=True`` during training."""
+    z_dim: int = 512
+    c_dim: int = 0
+    w_dim: int = 512
+    num_ws: Optional[int] = 14
+    num_layers: int = 8
+    lr_multiplier: float = 0.01
+    w_avg_beta: float = 0.998
+
+    @nn.compact
+    def __call__(self, z, c=None, truncation_psi: float = 1.0,
+                 truncation_cutoff: Optional[int] = None,
+                 update_emas: bool = False):
+        def norm2(v):
+            return v * jax.lax.rsqrt(
+                jnp.mean(jnp.square(v), axis=-1, keepdims=True) + 1e-8)
+
+        parts = []
+        if self.z_dim > 0:
+            parts.append(norm2(z.astype(jnp.float32)))
+        if self.c_dim > 0:
+            y = EqualDense(self.w_dim, name='embed')(c.astype(jnp.float32))
+            parts.append(norm2(y))
+        x = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+        act = lambda v: jax.nn.leaky_relu(v, 0.2) * math.sqrt(2.0)
+        for i in range(self.num_layers):
+            feats = self.w_dim
+            x = EqualDense(feats, lr_multiplier=self.lr_multiplier,
+                           activation=act, name=f'fc{i}')(x)
+
+        w_avg = self.variable('stats', 'w_avg',
+                              lambda: jnp.zeros((self.w_dim,)))
+        if update_emas and not self.is_initializing():
+            w_avg.value = (jnp.mean(jax.lax.stop_gradient(x), axis=0)
+                           + self.w_avg_beta
+                           * (w_avg.value - jnp.mean(
+                               jax.lax.stop_gradient(x), axis=0)))
+
+        if self.num_ws is not None:
+            x = jnp.repeat(x[:, None], self.num_ws, axis=1)
+        if truncation_psi != 1.0:
+            if self.num_ws is None or truncation_cutoff is None:
+                x = w_avg.value + truncation_psi * (x - w_avg.value)
+            else:
+                head = w_avg.value + truncation_psi * (
+                    x[:, :truncation_cutoff] - w_avg.value)
+                x = jnp.concatenate([head, x[:, truncation_cutoff:]],
+                                    axis=1)
+        return x
+
+
 def minibatch_stddev(x: jax.Array, group_size: int = 4) -> jax.Array:
     B, H, W, C = x.shape
     g = min(group_size, B)

@@ -90,3 +90,43 @@ class TestSR8XDCParity:
         got = got.transpose(0, 3, 1, 2)
         assert got.shape == ref_out.shape == (B, 3, 512, 512)
         np.testing.assert_allclose(got, ref_out, rtol=3e-4, atol=3e-4)
+
+
+class TestMappingNetworkParity:
+
+    def test_mapping_matches_reference(self):
+        """MappingNetwork vs the real reference module, shared weights,
+        incl. truncation toward a nonzero tracked w_avg."""
+        import torch
+        ref_compat.install()
+        import importlib
+        sg2 = importlib.import_module('nsr.networks_stylegan2')
+
+        torch.manual_seed(0)
+        ref = sg2.MappingNetwork(z_dim=16, c_dim=0, w_dim=32, num_ws=5,
+                                 num_layers=2).eval()
+        with torch.no_grad():
+            for p in ref.parameters():
+                p.copy_(torch.randn_like(p) * 0.5)
+            ref.w_avg.copy_(torch.randn(32) * 0.3)
+
+        from ln3diff_tpu.conditioning.convert_ln3diff import \
+            convert_mapping_network
+        from ln3diff_tpu.models.stylegan import MappingNetwork
+
+        sd = {k: v for k, v in ref.state_dict().items()}
+        params = convert_mapping_network(sd, num_layers=2)
+        w_avg = params.pop('_w_avg')
+        model = MappingNetwork(z_dim=16, c_dim=0, w_dim=32, num_ws=5,
+                               num_layers=2)
+
+        z = np.random.default_rng(1).standard_normal((3, 16)).astype(
+            np.float32)
+        for psi in (1.0, 0.7):
+            got = model.apply({'params': params,
+                               'stats': {'w_avg': jnp.asarray(w_avg)}},
+                              jnp.asarray(z), truncation_psi=psi)
+            with torch.no_grad():
+                want = ref(torch.from_numpy(z), None, truncation_psi=psi)
+            np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                       rtol=2e-4, atol=2e-5)
