@@ -616,7 +616,10 @@ def convert_vae_ffhq(sd: Mapping, fusion_depth: int = 6,
 # ---------------------------------------------------------------------------
 
 def convert_vae_objaverse(sd: Mapping, dit2_depth: int = 24,
-                          prefix: str = '') -> dict:
+                          prefix: str = '',
+                          enc_ch_mult=(1, 2, 4, 4),
+                          dec_ch_mult=(1, 2, 2, 4),
+                          num_res_blocks: int = 1) -> dict:
     """Reference Objaverse release ``rec_model`` state dict
     (``RodinSR_256_..._withSD_D_ditDecoder``, assembled by
     ``nsr/script_util.py:create_3DAE_model``) → our ``TriplaneVAE``
@@ -626,7 +629,7 @@ def convert_vae_objaverse(sd: Mapping, dit2_depth: int = 24,
     p = prefix
     return {
         'encoder': {'encoder': convert_sd_encoder(
-            sd, ch_mult=(1, 2, 4, 4), num_res_blocks=1,
+            sd, ch_mult=enc_ch_mult, num_res_blocks=num_res_blocks,
             prefix=f'{p}encoder.', mv=True)},
         'quant_conv': conv2d(sd, f'{p}decoder.superresolution.quant_conv'),
         'ldm_upsample': conv2d(
@@ -634,7 +637,7 @@ def convert_vae_objaverse(sd: Mapping, dit2_depth: int = 24,
         'dit2': convert_dit2(sd, dit2_depth,
                              prefix=f'{p}decoder.vit_decoder.'),
         'conv_sr': convert_sd_decoder(
-            sd, ch_mult=(1, 2, 2, 4), num_res_blocks=1,
+            sd, ch_mult=dec_ch_mult, num_res_blocks=num_res_blocks,
             prefix=f'{p}decoder.superresolution.conv_sr.'),
         'osg_decoder': convert_osg_decoder(
             sd, prefix=f'{p}decoder.triplane_decoder.decoder.net'),
@@ -643,7 +646,8 @@ def convert_vae_objaverse(sd: Mapping, dit2_depth: int = 24,
 
 def convert_joint_objaverse(sd: Mapping, dit_depth: int = 24,
                             dit2_depth: int = 24,
-                            denoiser_variant: str = 'text') -> dict:
+                            denoiser_variant: str = 'text',
+                            **vae_kwargs) -> dict:
     """Split + convert a full reference joint checkpoint.  Returns
     ``{'denoiser': ..., 'vae': ..., 'mixing_logit': ...}`` (the DiT
     denoisers store ``mixing_logit`` as a top-level ddpm buffer)."""
@@ -653,7 +657,8 @@ def convert_joint_objaverse(sd: Mapping, dit_depth: int = 24,
     out = {
         'denoiser': convert_dit_trilatent(ddpm, depth=dit_depth,
                                           variant=denoiser_variant),
-        'vae': convert_vae_objaverse(rec, dit2_depth=dit2_depth),
+        'vae': convert_vae_objaverse(rec, dit2_depth=dit2_depth,
+                                     **vae_kwargs),
     }
     if 'mixing_logit' in ddpm:
         out['mixing_logit'] = _np(ddpm['mixing_logit'])

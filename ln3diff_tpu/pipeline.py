@@ -140,8 +140,13 @@ class TextTo3DPipeline:
                      frames_per_call: Optional[int] = None,
                      render_resolution: Optional[int] = None,
                      samples_per_ray: int = 128,
-                     hbm_budget_bytes: float = 4e9):
+                     hbm_budget_bytes: float = 4e9,
+                     frame_slice: Optional[tuple] = None):
         """Render the evaluation orbit → (B, F, H, W, 3) in [-1, 1].
+
+        ``frame_slice=(a, b)``: render only orbit frames [a, b) (camera
+        ring unchanged) — lets callers interleave other device work
+        between dispatch groups (see ``__call__``'s mesh overlap).
 
         Frames fold into the batch in chunks — enough to amortize the
         gather-table build, small enough that the transient
@@ -161,6 +166,13 @@ class TextTo3DPipeline:
             frames_per_call -= 1
         cams = jnp.asarray(orbit_cameras(num_frames, radius, fov,
                                          pitch_deg))
+        if frame_slice is not None:
+            a, b = frame_slice
+            cams = cams[a:b]
+            num_frames = b - a
+            frames_per_call = min(frames_per_call, num_frames)
+            while num_frames % frames_per_call:
+                frames_per_call -= 1
         B = planes.shape[0]
 
         if self._render_rays_jit is not None and B == 1:
@@ -236,29 +248,57 @@ class TextTo3DPipeline:
         frames (serving format; reference writes uint8 mp4 —
         ``train_util_diffusion.py:208-249``) — quarters the device→host
         readback, which dominates on tunneled chips."""
+        from .render.mesh import (dispatch_vertex_colors, export_obj,
+                                  export_ply, march_grid, rotate_x)
+
         k_sample, _ = jax.random.split(key)
         # sample_latents already returns sample * triplane_scaling_divider
         # (the decoder-space latent); pass it to decode unchanged.
         latents = self.sample_latents(k_sample, batch, cond, uncond)
         planes = self._decode_jit(self.vae_params, latents)
-        video = self.render_orbit(planes, num_frames,
-                                  render_resolution=render_resolution)
-        if video_uint8:
-            video = jax.jit(
-                lambda v: ((jnp.clip(v, -1, 1) + 1) * 127.5)
-                .astype(jnp.uint8))(video)
+
+        def to_u8(v):
+            return jax.jit(lambda v: ((jnp.clip(v, -1, 1) + 1) * 127.5)
+                           .astype(jnp.uint8))(v)
+
         out = {'latents': latents, 'planes': planes}
-        if mesh_path:
-            # enqueue the σ-grid query BEFORE pulling the video: the
-            # device runs it while the video readback is on the wire.
-            sigma_grid = self.dispatch_mesh_sigma(planes, mesh_grid)
+        if not mesh_path:
+            video = self.render_orbit(planes, num_frames,
+                                      render_resolution=render_resolution)
+            if video_uint8:
+                video = to_u8(video)
             out['video'] = np.asarray(video) if video_uint8 else video
-            verts, faces = self.export_mesh(planes, mesh_path,
-                                            grid_size=mesh_grid,
-                                            sigma_grid=sigma_grid)
-            out['mesh'] = (verts, faces)
+            return out
+
+        # Interleaved schedule: the mesh's small device stages slot
+        # BETWEEN orbit dispatch groups so every host step (σ pull,
+        # marching tetrahedra, OBJ write) overlaps in-flight render
+        # frames instead of serializing after them.
+        sigma_grid = self.dispatch_mesh_sigma(planes, mesh_grid)
+        head = min(max(num_frames // 4, 1), num_frames)
+        v1 = self.render_orbit(planes, num_frames,
+                               render_resolution=render_resolution,
+                               frame_slice=(0, head))
+        sigma_np = np.asarray(sigma_grid)       # overlaps head frames
+        verts, faces = march_grid(sigma_np, mesh_grid)
+        verts_w = rotate_x(verts, -90.0)
+        rgb_dev = dispatch_vertex_colors(self._mesh_decoder(planes), verts)
+        v2 = None
+        if head < num_frames:
+            v2 = self.render_orbit(planes, num_frames,
+                                   render_resolution=render_resolution,
+                                   frame_slice=(head, num_frames))
+        colors = np.zeros_like(verts) if rgb_dev is None \
+            else np.clip(np.asarray(rgb_dev), 0.0, 1.0)
+        if mesh_path.endswith('.ply'):
+            export_ply(mesh_path, verts_w, colors, faces)
         else:
-            out['video'] = np.asarray(video) if video_uint8 else video
+            export_obj(mesh_path, verts_w, colors, faces)
+        out['mesh'] = (verts_w, faces)
+        video = v1 if v2 is None else jnp.concatenate([v1, v2], axis=1)
+        if video_uint8:
+            video = to_u8(video)
+        out['video'] = np.asarray(video) if video_uint8 else video
         return out
 
 

@@ -50,6 +50,52 @@ def query_grid_sigma(point_decoder: PointDecoder, grid_size: int,
     return sigmas.reshape(-1)[:n]
 
 
+def march_grid(sigma: np.ndarray, grid_size: int, aabb: float = 0.45,
+               threshold: float = 10.0):
+    """Host stage: σ grid (numpy) → (verts world coords, faces).
+
+    Split out so callers can overlap the native marching-tetrahedra run
+    with in-flight device work (pipeline.__call__ marches while the
+    orbit render executes)."""
+    from ..native.build import get_marching_tetrahedra
+
+    sigma = np.asarray(sigma, np.float32).reshape(
+        grid_size, grid_size, grid_size)
+    mt = get_marching_tetrahedra()
+    max_tris = 4_000_000
+    out = np.empty((max_tris, 9), np.float32)
+    n = mt(sigma.ctypes.data_as(_fp()), grid_size, grid_size, grid_size,
+           np.float32(threshold), out.ctypes.data_as(_fp()), max_tris)
+    if n < 0:
+        max_tris = -n
+        out = np.empty((max_tris, 9), np.float32)
+        n = mt(sigma.ctypes.data_as(_fp()), grid_size, grid_size, grid_size,
+               np.float32(threshold), out.ctypes.data_as(_fp()), max_tris)
+    tris = out[:n].reshape(n * 3, 3)
+    scale = (2 * aabb) / (grid_size - 1)
+    verts = tris * scale - aabb
+    faces = np.arange(n * 3, dtype=np.int64).reshape(n, 3)
+    return verts, faces
+
+
+def dispatch_vertex_colors(point_decoder: PointDecoder, verts: np.ndarray,
+                           chunk: int = 2**16):
+    """Enqueue the per-vertex RGB re-query (reference :230-242) WITHOUT
+    waiting; returns the in-flight device array (or None for an empty
+    mesh).  Caller clips/pulls when needed."""
+    if not len(verts):
+        return None
+    v = jnp.asarray(verts)
+    pad = (-v.shape[0]) % chunk
+    vp = jnp.pad(v, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+
+    def eval_rgb(p):
+        rgb, _ = point_decoder(p[None])
+        return rgb[0, :, :3]
+
+    return jax.lax.map(eval_rgb, vp).reshape(-1, 3)[:v.shape[0]]
+
+
 def extract_mesh(point_decoder: PointDecoder, grid_size: int = 128,
                  aabb: float = 0.45, threshold: float = 10.0,
                  chunk: int = 2**16, sigma_grid: Optional[jax.Array] = None):
@@ -62,44 +108,13 @@ def extract_mesh(point_decoder: PointDecoder, grid_size: int = 128,
     Returns (vertices (N, 3) world coords, colors (N, 3) in [0, 1],
     faces (T, 3) indices).  Flat (unshared) vertices, 3 per triangle.
     """
-    from ..native.build import get_marching_tetrahedra
-
     if sigma_grid is None:
         sigma_grid = query_grid_sigma(point_decoder, grid_size, aabb, chunk)
-    sigma = np.asarray(sigma_grid, np.float32).reshape(
-        grid_size, grid_size, grid_size)
-
-    mt = get_marching_tetrahedra()
-    max_tris = 4_000_000
-    out = np.empty((max_tris, 9), np.float32)
-    n = mt(sigma.ctypes.data_as(_fp()), grid_size, grid_size, grid_size,
-           np.float32(threshold), out.ctypes.data_as(_fp()), max_tris)
-    if n < 0:
-        max_tris = -n
-        out = np.empty((max_tris, 9), np.float32)
-        n = mt(sigma.ctypes.data_as(_fp()), grid_size, grid_size, grid_size,
-               np.float32(threshold), out.ctypes.data_as(_fp()), max_tris)
-    tris = out[:n].reshape(n * 3, 3)
-
-    # index space → world
-    scale = (2 * aabb) / (grid_size - 1)
-    verts = tris * scale - aabb
-
-    # vertex colors by re-querying the decoder (reference :230-242)
-    colors = np.zeros_like(verts)
-    if len(verts):
-        v = jnp.asarray(verts)
-        pad = (-v.shape[0]) % chunk
-        vp = jnp.pad(v, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
-
-        def eval_rgb(p):
-            rgb, _ = point_decoder(p[None])
-            return rgb[0, :, :3]
-
-        rgb = jax.lax.map(eval_rgb, vp).reshape(-1, 3)[:v.shape[0]]
-        colors = np.clip(np.asarray(rgb), 0.0, 1.0)
-
-    faces = np.arange(n * 3, dtype=np.int64).reshape(n, 3)
+    verts, faces = march_grid(np.asarray(sigma_grid), grid_size, aabb,
+                              threshold)
+    rgb = dispatch_vertex_colors(point_decoder, verts, chunk)
+    colors = np.zeros_like(verts) if rgb is None \
+        else np.clip(np.asarray(rgb), 0.0, 1.0)
     return verts, colors, faces
 
 

@@ -105,6 +105,11 @@ def main():
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--image', default='',
                         help='CLI mode: input image path')
+    parser.add_argument('--image_dir', default='',
+                        help='CLI mode: directory of real eval images '
+                             '(reference RealDataset, '
+                             'g_buffer_objaverse.py:2531) — runs i23d on '
+                             'each')
     args = parser.parse_args()
 
     run_i23d = build_runner(args)
@@ -134,6 +139,20 @@ def main():
     # CLI fallback
     import numpy as np
     from PIL import Image
+
+    if args.image_dir:
+        # i23d eval over a real-image folder (reference RealDataset)
+        from ln3diff_tpu.data.objaverse_raw import RealDataset
+        ds = RealDataset(args.image_dir, reso=224, reso_encoder=224,
+                         imgnet_normalize=False)
+        for i in range(len(ds)):
+            sample = ds[i]
+            img = ((sample['img'] + 1) * 127.5).astype(np.uint8)
+            tag = os.path.splitext(os.path.basename(sample['fname']))[0]
+            frames, mesh = run_i23d(img, args.outdir, tag=tag)
+            print(f'[{i + 1}/{len(ds)}] {tag}: {len(frames)} frames, '
+                  f'{mesh}')
+        return
 
     if args.image:
         img = np.asarray(Image.open(args.image).convert('RGB'))

@@ -238,6 +238,13 @@ class _StubLoader:
     Attributes resolve to a late-failing class so nothing breaks until a
     stubbed symbol is actually *called* at runtime."""
 
+    # cross-instance marker: the module can be imported both as
+    # 'ref_compat' and 'tests.ref_compat' (two class objects) — without
+    # this, two installed loaders each defer to the other in the
+    # real-installation probe below and BOTH return None
+    # (ModuleNotFoundError for every stub root).
+    _ln3diff_stub = True
+
     def find_spec(self, fullname, path=None, target=None):
         import importlib.machinery
         root = fullname.split('.')[0]
@@ -247,7 +254,8 @@ class _StubLoader:
             import importlib.util
             if root == fullname:
                 for finder in sys.meta_path:
-                    if finder is self:
+                    if finder is self or getattr(finder, '_ln3diff_stub',
+                                                 False):
                         continue
                     spec = getattr(finder, 'find_spec', None)
                     if spec and finder.find_spec(fullname, path, target):

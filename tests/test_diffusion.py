@@ -301,7 +301,10 @@ class TestVLB:
     numeric parity vs the reference ``gaussian_diffusion.py:1012-1177``."""
 
     def _ref_diffusion(self, steps=100):
-        from tests import ref_compat
+        import os as _os
+        import sys as _sys
+        _sys.path.insert(0, _os.path.dirname(__file__))
+        import ref_compat
         ref_compat.install()
         import importlib
         gd = importlib.import_module('guided_diffusion.gaussian_diffusion')
