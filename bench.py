@@ -89,10 +89,10 @@ def main():
 
     def run(prompt: str, seed: int) -> float:
         t0 = time.perf_counter()
-        cond = {'crossattn': encode_text(text_vars,
-                                         jnp.asarray(tokenizer([prompt])))}
-        uncond = {'crossattn': encode_text(text_vars,
-                                           jnp.asarray(tokenizer([''])))}
+        both = encode_text(text_vars,
+                           jnp.asarray(tokenizer([prompt, ''])))
+        cond = {'crossattn': both[:1]}
+        uncond = {'crossattn': both[1:]}
         with tempfile.TemporaryDirectory() as td:
             out = pipeline(jax.random.PRNGKey(seed), cond, uncond, batch=1,
                            num_frames=num_frames,

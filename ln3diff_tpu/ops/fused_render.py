@@ -89,22 +89,27 @@ def _kernel(rows_ref, tx_ref, ty_ref, live_ref, inbox_ref, w1_ref, b1_ref,
             w2_ref, b2_ref, rgb_ref, sigma_ref, *, activation: str,
             use_inbox: bool):
     C = w1_ref.shape[0]
-    # rows arrive in their native dtype (bf16 on inference surfaces) and
-    # widen HERE, in VMEM — casting at the pallas_call boundary would
-    # materialize a full f32 copy of the gathered-rows tensor in HBM
-    # (≈7 GB/frame at 192², the stage-2 bandwidth floor).  bf16→f32 is
-    # exact, so results are bitwise identical.
-    rows = rows_ref[:].astype(jnp.float32)   # (3, TILE, 4C)
-    tx = tx_ref[:][..., None]                # (3, TILE, 1)
-    ty = ty_ref[:][..., None]
-    live = live_ref[:][..., None]
-    w00 = (1 - tx) * (1 - ty) * live
-    w01 = tx * (1 - ty) * live
-    w10 = (1 - tx) * ty * live
+    # The bilinear lerp runs in the rows' NATIVE dtype: bf16 rows (the
+    # inference surfaces) keep the 4C-wide elementwise work in bf16 —
+    # 2 elems/VPU lane vs widening 906M elems/pass to f32 first (the
+    # f32 widen made the kernel 2.4x off the VPU roofline).  The
+    # (TILE, C) plane-mean and the MLP accumulate in f32.  Weights are
+    # per-point scalars broadcast over C; bf16 weight rounding (2^-8
+    # relative) is below the bf16 feature quantization already present.
+    rows = rows_ref[:]                       # (3, TILE, 4C) native dtype
+    dt = rows.dtype
+    tx = tx_ref[:][..., None].astype(dt)     # (3, TILE, 1)
+    ty = ty_ref[:][..., None].astype(dt)
+    live = live_ref[:][..., None].astype(dt)
+    one = jnp.asarray(1, dt)
+    w00 = (one - tx) * (one - ty) * live
+    w01 = tx * (one - ty) * live
+    w10 = (one - tx) * ty * live
     w11 = tx * ty * live
     f = (w00 * rows[..., :C] + w01 * rows[..., C:2 * C]
          + w10 * rows[..., 2 * C:3 * C] + w11 * rows[..., 3 * C:])
-    x = (f[0] + f[1] + f[2]) * (1.0 / 3.0)   # (TILE, C)
+    f = f.astype(jnp.float32)
+    x = (f[0] + f[1] + f[2]) * (1.0 / 3.0)   # (TILE, C) f32
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h = jax.nn.softplus(h + b1_ref[:])
     out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)

@@ -219,9 +219,14 @@ class TextTo3DPipeline:
                             aabb: float = 0.45):
         """Enqueue the σ-grid device query WITHOUT waiting — returns the
         in-flight device array.  Call before a large host readback (e.g.
-        the orbit video) so query compute/transfer overlap with it."""
+        the orbit video) so query compute/transfer overlap with it.
+
+        chunk 2^18 (vs the reference's VRAM-bound 2^16): 27 lax.map
+        steps instead of 109 for a 192³ grid — larger fused-kernel grids
+        per step, same ≤0.2 GB transient."""
         from .render.mesh import query_grid_sigma
-        return query_grid_sigma(self._mesh_decoder(planes), grid_size, aabb)
+        return query_grid_sigma(self._mesh_decoder(planes), grid_size, aabb,
+                                chunk=2**18)
 
     def export_mesh(self, planes, path: str, grid_size: int = 192,
                     aabb: float = 0.45, threshold: float = 10.0,
