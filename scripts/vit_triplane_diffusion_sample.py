@@ -45,7 +45,26 @@ def main():
     parser.add_argument('--denoiser_ckpt', default='')
     parser.add_argument('--vae_ckpt', default='')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--preset', default='',
+                        help='RELEASE_PRESETS name (e.g. '
+                             "'objaverse/t23d-dit', 'shapenet/car-t23d') "
+                             '— sets denoiser/vae/objective/cfg-scale/'
+                             'divider to the reference release config')
     args = parser.parse_args()
+
+    if args.preset:
+        from ln3diff_tpu.config import release_preset
+        rp = release_preset(args.preset)
+        args.denoiser = rp.denoiser
+        args.vae = rp.vae
+        args.objective = {'ddpm': 'ddim', 'vpsde': 'ddim'}.get(
+            rp.objective, rp.objective)
+        args.unconditional_guidance_scale = rp.extras.get(
+            'cfg_scale', args.unconditional_guidance_scale)
+        args.num_steps = rp.extras.get('sample_steps', args.num_steps)
+        args.triplane_scaling_divider = rp.triplane_scaling_divider
+    else:
+        args.triplane_scaling_divider = None
 
     from ln3diff_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -145,7 +164,10 @@ def main():
             kind=args.objective if args.objective != 'flow_matching'
             else 'flow_matching',
             num_steps=args.num_steps,
-            cfg_scale=args.unconditional_guidance_scale),
+            cfg_scale=args.unconditional_guidance_scale,
+            **({'triplane_scaling_divider':
+                args.triplane_scaling_divider}
+               if args.triplane_scaling_divider is not None else {})),
         diffusion=make_diffusion(
             steps=1000,
             # LSGM U-Net checkpoints are v-pred with mixed prediction
