@@ -175,3 +175,67 @@ class LDMTrainer:
                 eval_fn(state, step_offset + i + 1)
         self._state = state
         return state
+
+
+class ControlNetTrainer(LDMTrainer):
+    """Hint-conditioned fine-tuning (reference
+    ``scripts/vit_triplane_cldm_train.py`` +
+    ``nsr/lsgm/crossattn_cldm_objv.py:775`` ControlNet subclass): a
+    frozen pre-trained U-Net plus a trainable ControlNet branch whose
+    zero-conv residuals are added to the U-Net skips.
+
+    Only the ControlNet params train — the U-Net weights live in the
+    optimizer-free ``constants`` tree (the reference freezes via
+    ``requires_grad(False)``; under jit we simply keep them out of
+    ``params``).  Batches carry 'latent', 'context' and 'hint'
+    (B, H, W, C control image).
+    """
+
+    def __init__(self, unet_model, controlnet_model, unet_params,
+                 train_cfg: LDMTrainConfig = LDMTrainConfig(
+                     objective='ddpm'),
+                 mesh=None, seed: int = 0):
+        super().__init__(unet_model, train_cfg, mesh=mesh, seed=seed)
+        assert train_cfg.objective == 'ddpm', \
+            'reference cldm trains the DDPM objective'
+        self.controlnet = controlnet_model
+        self._unet_params = unet_params
+
+    def init_state(self, example_batch):
+        from .train_state import create_train_state, make_optimizer
+
+        x = jnp.asarray(example_batch['latent'])
+        t = jnp.zeros((x.shape[0],))
+        ctx = example_batch['context']
+        hint = jnp.asarray(example_batch['hint'])
+        cn_vars = self.controlnet.init(self._init_key, x, hint, t,
+                                       ctx.get('crossattn')
+                                       if isinstance(ctx, dict) else ctx)
+        params = cn_vars.pop('params')
+        tx = make_optimizer(self.cfg.lr, self.cfg.weight_decay,
+                            grad_clip=self.cfg.grad_clip)
+        self._state = create_train_state(
+            params, tx, ema_rates=(('ema', self.cfg.ema_rate),),
+            constants={'unet': self._unet_params, **cn_vars})
+        return self._state
+
+    def _loss_fn(self, params, constants, batch, rng):
+        cfg = self.cfg
+        x0 = batch['latent'] / cfg.triplane_scaling_divider
+        ctx = batch['context']
+        hint = batch['hint']
+        crossattn = ctx.get('crossattn') if isinstance(ctx, dict) else ctx
+        frozen_unet = jax.lax.stop_gradient(constants['unet'])
+
+        def model_fn(xt, t, **kw):
+            controls = self.controlnet.apply({'params': params}, xt, hint,
+                                             t, crossattn)
+            return self.model.apply({'params': frozen_unet}, xt, t,
+                                    crossattn, control=controls)
+
+        k_t, k_n = jax.random.split(rng)
+        t = jax.random.randint(k_t, (x0.shape[0],), 0,
+                               self.diffusion.num_timesteps)
+        out = self.diffusion.training_losses(model_fn, x0, t, k_n)
+        loss = out['loss'].mean()
+        return loss, {'cldm_mse': loss}

@@ -83,3 +83,79 @@ class TestControlNet:
         # re-initialized conv_out; instead just assert shapes equal and
         # run gradients through
         assert y2.shape == y0.shape
+
+
+class TestControlNetTrainer:
+
+    def test_trains_branch_only_and_zero_init_identity(self):
+        """ControlNet fine-tuning (reference cldm): zero-conv residuals
+        make the controlled forward EQUAL the frozen U-Net at init; a few
+        steps train only the branch (U-Net constants untouched)."""
+        from ln3diff_tpu.models.controlnet import ControlNet
+        from ln3diff_tpu.training.ldm_trainer import (ControlNetTrainer,
+                                                      LDMTrainConfig)
+
+        cfg = UNetConfig(in_channels=4, model_channels=8, out_channels=4,
+                         num_res_blocks=1, attention_resolutions=(2,),
+                         channel_mult=(1, 2), num_heads=2,
+                         use_spatial_transformer=True, context_dim=16,
+                         roll_out=True, dtype=jnp.float32)
+        unet = UNetModel(cfg)
+        B = 2
+        lat = jnp.zeros((B, 8, 8, 12))
+        ctx = jnp.zeros((B, 7, 16))
+        uvars = unet.init(jax.random.PRNGKey(0), lat, jnp.zeros((B,)), ctx)
+
+        from ln3diff_tpu.parallel.mesh import MeshConfig, make_mesh
+        trainer = ControlNetTrainer(
+            unet, ControlNet(cfg), uvars['params'],
+            LDMTrainConfig(objective='ddpm', lr=5e-3,
+                           triplane_scaling_divider=1.0,
+                           log_interval=1000),
+            mesh=make_mesh(MeshConfig(data=2),
+                           devices=jax.devices()[:2]))
+        rng = np.random.default_rng(0)
+
+        def data():
+            while True:
+                yield {'latent': rng.standard_normal(
+                           (B, 8, 8, 12)).astype(np.float32),
+                       'context': {'crossattn': rng.standard_normal(
+                           (B, 7, 16)).astype(np.float32)},
+                       'hint': rng.standard_normal(
+                           (B, 8, 8, 3)).astype(np.float32)}
+
+        it = data()
+        trainer.build(next(it))
+        state0 = trainer._state
+
+        # zero-init identity: controlled forward == frozen unet forward
+        x = jnp.asarray(rng.standard_normal((B, 8, 8, 12)), jnp.float32)
+        t = jnp.zeros((B,))
+        hint = jnp.asarray(rng.standard_normal((B, 8, 8, 3)), jnp.float32)
+        controls = ControlNet(cfg).apply({'params': state0.params}, x,
+                                         hint, t, ctx)
+        with_c = unet.apply(uvars, x, t, ctx, control=controls)
+        without = unet.apply(uvars, x, t, ctx)
+        np.testing.assert_allclose(np.asarray(with_c), np.asarray(without),
+                                   atol=1e-6)
+
+        unet_before = jax.tree_util.tree_map(np.asarray,
+                                             state0.constants['unet'])
+        # snapshot before run_loop: the train step donates state buffers
+        params_before = jax.tree_util.tree_map(
+            lambda a: np.asarray(a).copy(), state0.params)
+        state = trainer.run_loop(it, num_steps=3)
+        assert int(state.step) == 3
+        # branch moved
+        moved = any(not np.allclose(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(params_before),
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, state.params))))
+        assert moved
+        # frozen U-Net untouched
+        for a, b in zip(jax.tree_util.tree_leaves(unet_before),
+                        jax.tree_util.tree_leaves(
+                            jax.tree_util.tree_map(
+                                np.asarray, state.constants['unet']))):
+            np.testing.assert_array_equal(a, b)
