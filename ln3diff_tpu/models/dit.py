@@ -506,6 +506,8 @@ def dit_registry(name: str, **overrides) -> DiTConfig:
                         num_heads=12, variant='text'),
         'DiT-B/1': dict(depth=12, hidden_size=768, patch_size=1,
                         num_heads=12, variant='text'),
+        'DiT-B/16': dict(depth=12, hidden_size=768, patch_size=16,
+                         num_heads=12, variant='text'),
         'DiT-S/2': dict(depth=12, hidden_size=384, patch_size=2,
                         num_heads=6, variant='text'),
         'DiT-PixelArt-L/2': dict(depth=24, hidden_size=1024, patch_size=2,
@@ -609,6 +611,10 @@ def dit2_registry(name: str, **overrides) -> DiT2Config:
     presets = {
         'DiT2-S/2': dict(depth=12, hidden_size=384, num_heads=6),
         'DiT2-B/2': dict(depth=12, hidden_size=768, num_heads=12),
+        # B/16 = B dims; patching lives in the VAE's ldm_upsample
+        # (TriplaneVAEConfig.patch_size), so only tokens_per_plane varies
+        'DiT2-B/16': dict(depth=12, hidden_size=768, num_heads=12,
+                          tokens_per_plane=4),
         'DiT2-L/2': dict(depth=24, hidden_size=1024, num_heads=16),
         'DiT2-XL/2': dict(depth=28, hidden_size=1152, num_heads=16),
     }
