@@ -110,6 +110,17 @@ class TestTextTo3DPipeline:
         assert np.isfinite(np.asarray(out['video'])).all()
         assert os.path.exists(mesh_path)  # possibly empty mesh: file exists
 
+        # serving format: uint8 host frames, interleaved mesh schedule —
+        # must equal the float path's frames after quantization
+        out8 = pipeline(jax.random.PRNGKey(2), cond, uncond, batch=1,
+                        num_frames=2, mesh_path=mesh_path, mesh_grid=16,
+                        render_resolution=16, video_uint8=True)
+        assert isinstance(out8['video'], np.ndarray)
+        assert out8['video'].dtype == np.uint8
+        want = ((np.clip(np.asarray(out['video']), -1, 1) + 1)
+                * 127.5).astype(np.uint8)
+        np.testing.assert_array_equal(out8['video'], want)
+
     def test_flow_matching_kind(self):
         """FM sampler path through the pipeline (no render)."""
         den_cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
