@@ -252,14 +252,13 @@ class TriplaneVAE(nn.Module):
             ray_origins, ray_directions = sample_full_rays(
                 cam2world, intrinsics, resolution)
         if self.cfg.use_background:
-            assert not use_fused_osg, \
-                'fused OSG kernel not wired for the fg/bg split yet'
             from ..render.background import render_rays_fg_bg
             out = render_rays_fg_bg(
                 key, planes, lambda f, d: self.osg_decoder(f, d),
                 lambda f, d: self.bg_decoder(f, d),
                 ray_origins, ray_directions, render_opts,
-                bg_depth_resolution=self.cfg.bg_depth_resolution)
+                bg_depth_resolution=self.cfg.bg_depth_resolution,
+                fused_osg=self._fused_osg() if use_fused_osg else None)
         else:
             out = render_rays(key, planes,
                               lambda f, d: self.osg_decoder(f, d),

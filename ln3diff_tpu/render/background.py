@@ -93,10 +93,15 @@ def _no_bbox(opts: RenderOptions) -> RenderOptions:
 def render_rays_fg_bg(key, planes: jax.Array, decoder: DecoderFn,
                       bg_decoder: DecoderFn, ray_origins: jax.Array,
                       ray_directions: jax.Array, opts: RenderOptions,
-                      bg_depth_resolution: int = 16) -> RenderOutput:
+                      bg_depth_resolution: int = 16,
+                      fused_osg=None) -> RenderOutput:
     """Full fg/bg render: channel-split planes, composite bg behind fg by
     residual transmittance (reference ``ImportanceRendererfg_bg.forward``
-    + composition in ``Triplane_fg_bg_plane``)."""
+    + composition in ``Triplane_fg_bg_plane``).
+
+    ``fused_osg`` applies to the FOREGROUND pass only (the bg decoder is
+    a different arch; its inverted-sphere pass is 16 samples/ray and
+    cheap)."""
     C = planes.shape[-1]
     fg_planes = planes[..., :C // 2]
     bg_planes = planes[..., C // 2:]
@@ -107,7 +112,7 @@ def render_rays_fg_bg(key, planes: jax.Array, decoder: DecoderFn,
         k_fg = k_bg = None
 
     fg = render_rays(k_fg, fg_planes, decoder, ray_origins, ray_directions,
-                     opts)
+                     opts, fused_osg=fused_osg)
     bg = render_background(k_bg, bg_planes, bg_decoder, ray_origins,
                            ray_directions, opts, bg_depth_resolution)
 
