@@ -286,3 +286,26 @@ class SimpleCLIPTokenizer:
                    + [self.eot])
             out[i, :len(ids)] = ids
         return out
+
+
+def pooled_text_context(pooled: 'jax.Array', n_repeat: int = 1,
+                        normalize: bool = True,
+                        scale_clip_encoding: float | None = None):
+    """ShapeNet/FFHQ t23d conditioning (reference
+    ``FrozenCLIPTextEmbedder.encode``,
+    ``ldm/modules/encoders/modules.py:209-260``): the POOLED CLIP text
+    feature, L2-normalized and scaled (release scripts pass
+    ``--scale_clip_encoding 18.4``), repeated ``n_repeat`` times as the
+    cross-attention context (B, n_repeat, D).
+
+    CFG dropout happens at the PROMPT level in the reference
+    (``token_drop`` swaps prompts for "None") — callers encode the empty
+    prompt for the unconditional branch the same way.
+    """
+    import jax.numpy as jnp
+    z = pooled
+    if normalize:
+        z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        if scale_clip_encoding is not None:
+            z = z * scale_clip_encoding
+    return jnp.repeat(z[:, None, :], n_repeat, axis=1)

@@ -209,20 +209,22 @@ RELEASE_PRESETS: dict[str, dict] = {
         cfg_scale=6.5, sample_steps=250, sampler='ddim',
         cfg='objverse_tuneray_aug_resolution_64_64_auto'),
     # sample_shapenet_{car,chair,plane}_t23d.sh: U-Net LSGM, cfg 1.0;
-    # the CLIP-text conditioned samplers scale latents by 18.4
-    # (--triplane_scaling_divider 1 composes with the latent-std scale
-    # in the release sampler; see scripts/vit_triplane_diffusion_sample)
+    # conditioning is the POOLED CLIP text feature, L2-normalized and
+    # scaled by --scale_clip_encoding 18.4 (FrozenCLIPTextEmbedder,
+    # ldm/modules/encoders/modules.py:209-260)
     **{f'shapenet/{cls}-t23d': dict(
         dataset='shapenet', vae='shapenet', denoiser='shapenet-unet',
         objective='vpsde', triplane_scaling_divider=1.0,
         cfg_scale=1.0, sample_steps=250, sampler='ddim',
+        scale_clip_encoding=18.4,
         cfg='shapenet_tuneray_aug_resolution_64_64_nearestSR',
         dataset_class=cls) for cls in ('car', 'chair', 'plane')},
     # sample_ffhq_t23d.sh: FFHQ 4XC_final VAE + U-Net, cfg 6.5
     'ffhq/t23d': dict(
         dataset='ffhq', vae='ffhq', denoiser='shapenet-unet',
         objective='vpsde', triplane_scaling_divider=1.0,
-        cfg_scale=6.5, sample_steps=250, sampler='ddim', cfg='ffhq'),
+        cfg_scale=6.5, sample_steps=250, sampler='ddim',
+        scale_clip_encoding=1.0, cfg='ffhq'),
     # vae_reconstruction.sh / vae_xl_reconstruction.sh
     'objaverse/vae-rec': dict(
         dataset='objaverse', vae='objaverse', denoiser='t23d-dit-l2',

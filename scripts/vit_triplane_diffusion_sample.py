@@ -180,8 +180,24 @@ def main():
         if is_lsgm_unet else None)
 
     # -- per-prompt loop ---------------------------------------------------
-    encode_text_raw = jax.jit(
-        lambda vars, ids: text_model.apply(vars, ids)['last_hidden_state'])
+    # ShapeNet/FFHQ presets condition on the POOLED CLIP feature,
+    # L2-normalized × scale_clip_encoding (reference
+    # FrozenCLIPTextEmbedder, ldm/modules/encoders/modules.py:209-260);
+    # Objaverse DiT paths use the 77-token hidden states.
+    clip_scale = None
+    if getattr(args, 'preset', ''):
+        from ln3diff_tpu.config import RELEASE_PRESETS
+        clip_scale = RELEASE_PRESETS[args.preset].get('scale_clip_encoding')
+    if clip_scale is not None:
+        from ln3diff_tpu.conditioning.clip import pooled_text_context
+        encode_text_raw = jax.jit(
+            lambda vars, ids: pooled_text_context(
+                text_model.apply(vars, ids)['pooler_output'],
+                scale_clip_encoding=clip_scale))
+    else:
+        encode_text_raw = jax.jit(
+            lambda vars, ids: text_model.apply(vars,
+                                               ids)['last_hidden_state'])
     encode_text = lambda ids: encode_text_raw(text_vars, ids)
     uncond_ids = jnp.asarray(tokenizer(['']))
 
