@@ -37,6 +37,7 @@ class CLIPTextConfig:
     num_heads: int = 12
     max_length: int = 77
     intermediate_size: int = 3072
+    with_projection: bool = False     # OpenAI encode_text text_projection
     dtype: Any = jnp.float32
 
 
@@ -101,6 +102,8 @@ class CLIPLayer(nn.Module):
 
 
 class CLIPTextModel(nn.Module):
+    """``with_projection`` adds the OpenAI ``text_projection``
+    matmul on the pooled EOT feature (→ ``text_embeds``)."""
     cfg: CLIPTextConfig = CLIPTextConfig()
 
     @nn.compact
@@ -120,7 +123,15 @@ class CLIPTextModel(nn.Module):
         # pooled = hidden at eot token (argmax of ids = highest id = eot)
         eot = jnp.argmax(input_ids, axis=-1)
         pooled = x[jnp.arange(B), eot]
-        return {'last_hidden_state': x, 'pooler_output': pooled}
+        out = {'last_hidden_state': x, 'pooler_output': pooled}
+        if self.cfg.with_projection:
+            # OpenAI clip.encode_text applies text_projection after the
+            # EOT pool (the ShapeNet/FFHQ FrozenCLIPTextEmbedder path);
+            # HF calls this CLIPTextModelWithProjection.
+            out['text_embeds'] = nn.Dense(
+                cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                name='text_projection')(pooled)
+        return out
 
 
 class CLIPVisionModel(nn.Module):

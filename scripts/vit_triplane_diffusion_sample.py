@@ -189,10 +189,15 @@ def main():
         from ln3diff_tpu.config import RELEASE_PRESETS
         clip_scale = RELEASE_PRESETS[args.preset].get('scale_clip_encoding')
     if clip_scale is not None:
-        from ln3diff_tpu.conditioning.clip import pooled_text_context
+        # rebuild with the OpenAI text_projection head (encode_text)
+        from ln3diff_tpu.conditioning.clip import (CLIPTextConfig,
+                                                   pooled_text_context)
+        text_model = CLIPTextModel(CLIPTextConfig(with_projection=True))
+        text_vars = jax.jit(text_model.init)(jax.random.PRNGKey(3),
+                                             jnp.zeros((1, 77), jnp.int32))
         encode_text_raw = jax.jit(
             lambda vars, ids: pooled_text_context(
-                text_model.apply(vars, ids)['pooler_output'],
+                text_model.apply(vars, ids)['text_embeds'],
                 scale_clip_encoding=clip_scale))
     else:
         encode_text_raw = jax.jit(
