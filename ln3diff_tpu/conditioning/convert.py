@@ -87,6 +87,10 @@ def convert_hf_clip_text(state_dict: Mapping, num_layers: int = 12) -> dict:
                 'fc2': linear(sd, f'{lp}.mlp.fc2'),
             },
         }
+    # CLIPTextModelWithProjection / OpenAI encode_text head (bias-free)
+    if 'text_projection.weight' in sd:
+        params['text_projection'] = {
+            'kernel': _np(sd['text_projection.weight']).T}
     return params
 
 
