@@ -314,6 +314,13 @@ def pooled_text_context(pooled: 'jax.Array', n_repeat: int = 1,
     prompt for the unconditional branch the same way.
     """
     import jax.numpy as jnp
+    if not normalize and scale_clip_encoding is not None:
+        # the reference only applies the scale under normalize=True
+        # (modules.py:230-235) — silently dropping it here would feed
+        # ~18x-too-small conditioning; fail loudly instead.
+        raise ValueError('scale_clip_encoding requires normalize=True '
+                         '(reference FrozenCLIPTextEmbedder nests the '
+                         'scale under normalization)')
     z = pooled
     if normalize:
         z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)

@@ -146,7 +146,12 @@ class Cap3DCaptions:
 
 def _load_png(path: str) -> np.ndarray:
     from PIL import Image
-    return np.asarray(Image.open(path))
+    img = Image.open(path)
+    if img.mode not in ('RGB', 'RGBA'):
+        # grayscale / palette / CMYK inputs → RGBA so the downstream
+        # channel logic (composite_rgba) always sees a channel axis
+        img = img.convert('RGBA')
+    return np.asarray(img)
 
 
 def composite_rgba(raw: np.ndarray) -> np.ndarray:

@@ -345,7 +345,9 @@ class GaussianDiffusion:
         1110-1177``): per-timestep VLB terms + prior bpd, as one scan.
 
         Returns dict with total_bpd (B,), prior_bpd (B,), vb (B, T),
-        mse (B, T) — timestep order matches the reference (t ascending).
+        mse (B, T) — columns ordered t = T-1 .. 0, matching the
+        reference's descending iteration (vb[:, 0] is the LAST timestep,
+        ``gaussian_diffusion.py:1205``).
         """
         model_kwargs = model_kwargs or {}
         B = x_start.shape[0]
@@ -363,7 +365,7 @@ class GaussianDiffusion:
         keys = jax.random.split(key, self.num_timesteps)
         vb, mse, xstart_mse = jax.lax.map(
             lambda args: one_t(*args),
-            (keys, jnp.arange(self.num_timesteps)))
+            (keys, jnp.arange(self.num_timesteps - 1, -1, -1)))
         prior = self.prior_bpd(x_start)
         total = jnp.sum(vb, axis=0) + prior
         return {'total_bpd': total, 'prior_bpd': prior, 'vb': vb.T,

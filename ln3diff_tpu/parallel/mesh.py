@@ -92,9 +92,14 @@ def tensor_parallel_rules(params, mesh: Mesh,
     tp = mesh.shape['tensor']
     fsdp = mesh.shape['fsdp']
 
+    # exact path segments (see `rule`): include every transformer kernel
+    # name across DiT/U-Net/ViT — 'ff_proj' is the U-Net GEGLU expansion
+    # (the largest kernel per block) and would silently fall back to
+    # replicated if omitted.
     col_markers = ('qkv', 'fc1', 'to_q', 'to_k', 'to_v', 'q_proj',
-                   'k_proj', 'v_proj')
-    row_markers = ('proj', 'fc2', 'to_out', 'out_proj', 'mlp_img')
+                   'k_proj', 'v_proj', 'ff_proj', 'proj_in')
+    row_markers = ('proj', 'fc2', 'to_out', 'out_proj', 'mlp_img',
+                   'ff_out', 'proj_out')
 
     def rule(path, p):
         names = [str(getattr(k, 'key', '')) for k in path]

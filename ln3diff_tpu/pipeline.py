@@ -36,6 +36,13 @@ from .render.camera import orbit_cameras
 from .render.mesh import export_obj, export_ply, extract_mesh, rotate_x
 
 
+@jax.jit
+def _frames_to_uint8(v):
+    """[-1, 1] frames → uint8 (module-level so the jit cache hits across
+    pipeline calls — a per-call lambda re-traces every invocation)."""
+    return ((jnp.clip(v, -1, 1) + 1) * 127.5).astype(jnp.uint8)
+
+
 @dataclasses.dataclass
 class SamplerSpec:
     kind: str = 'flow_matching'     # 'flow_matching' | 'ddim'
@@ -262,16 +269,12 @@ class TextTo3DPipeline:
         latents = self.sample_latents(k_sample, batch, cond, uncond)
         planes = self._decode_jit(self.vae_params, latents)
 
-        def to_u8(v):
-            return jax.jit(lambda v: ((jnp.clip(v, -1, 1) + 1) * 127.5)
-                           .astype(jnp.uint8))(v)
-
         out = {'latents': latents, 'planes': planes}
         if not mesh_path:
             video = self.render_orbit(planes, num_frames,
                                       render_resolution=render_resolution)
             if video_uint8:
-                video = to_u8(video)
+                video = _frames_to_uint8(video)
             out['video'] = np.asarray(video) if video_uint8 else video
             return out
 
@@ -302,7 +305,7 @@ class TextTo3DPipeline:
         out['mesh'] = (verts_w, faces)
         video = v1 if v2 is None else jnp.concatenate([v1, v2], axis=1)
         if video_uint8:
-            video = to_u8(video)
+            video = _frames_to_uint8(video)
         out['video'] = np.asarray(video) if video_uint8 else video
         return out
 

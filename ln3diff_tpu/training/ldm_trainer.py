@@ -68,6 +68,14 @@ class LDMTrainer:
                 mean_type=train_cfg.mean_type, var_type=train_cfg.var_type,
                 loss_type=train_cfg.loss_type)
             if train_cfg.schedule_sampler == 'loss-second-moment':
+                # per-sample loss feedback rides the metrics dict, which
+                # the microbatch scan mean-collapses — and batch['t']
+                # would be sliced along the scan axis.  Host-side
+                # importance sampling therefore requires one device
+                # batch per step.
+                assert train_cfg.microbatch_steps == 1, (
+                    'loss-second-moment resampling requires '
+                    'microbatch_steps=1')
                 from ..diffusion.resample import LossSecondMomentResampler
                 self.resampler = LossSecondMomentResampler(
                     self.diffusion.num_timesteps)

@@ -62,18 +62,31 @@ def jsonl_sink(path: str) -> Sink:
 
 
 def csv_sink(path: str) -> Sink:
-    """Append rows, rewriting the file when new columns appear."""
-    state = {'keys': [], 'rows': []}
+    """Append one row per dump; the file is rewritten ONLY when new
+    columns appear (header change) — appends otherwise, so a long run is
+    O(rows) I/O with O(1) retained memory."""
+    state = {'keys': [], 'n_rows': 0}
 
     def sink(kvs: dict):
         new = [k for k in kvs if k not in state['keys']]
-        state['keys'] += sorted(new)
-        state['rows'].append(dict(kvs))
-        with open(path, 'wt') as fh:
-            fh.write(','.join(state['keys']) + '\n')
-            for row in state['rows']:
-                fh.write(','.join(str(row.get(k, '')) for k in
-                                  state['keys']) + '\n')
+        if new:
+            state['keys'] += sorted(new)
+            # patch the header: re-read the rows written so far (disk is
+            # the only copy), pad, rewrite once per new-column event
+            rows = []
+            if state['n_rows']:
+                with open(path, 'rt') as fh:
+                    lines = fh.read().splitlines()[1:]
+                rows = [ln.split(',') for ln in lines]
+            with open(path, 'wt') as fh:
+                fh.write(','.join(state['keys']) + '\n')
+                for r in rows:
+                    r += [''] * (len(state['keys']) - len(r))
+                    fh.write(','.join(r) + '\n')
+        with open(path, 'at') as fh:
+            fh.write(','.join(str(kvs.get(k, ''))
+                              for k in state['keys']) + '\n')
+        state['n_rows'] += 1
 
     return sink
 
@@ -127,6 +140,11 @@ class MetricLogger:
         s, n = self._means.get(key, (0.0, 0))
         self._means[key] = (s + float(val), n + 1)
 
+    def logkv_sum(self, key, val):
+        """Accumulate a TOTAL between dumps (reference ``profile_kv``
+        semantics: name2val[name] += dt)."""
+        self._pending[key] = self._pending.get(key, 0.0) + float(val)
+
     def dumpkvs(self) -> dict:
         out = dict(self._pending)
         out.update({k: s / n for k, (s, n) in self._means.items() if n})
@@ -142,6 +160,11 @@ class MetricLogger:
     def log(self, *args, level=INFO):
         if level >= self.level:
             print(*args, file=sys.stderr, flush=True)
+            if self.dir:
+                # plain messages also land in the run dir (reference
+                # 'log' format writer)
+                with open(os.path.join(self.dir, 'log.txt'), 'at') as fh:
+                    print(*args, file=fh)
 
     def set_level(self, level):
         self.level = level
@@ -165,7 +188,8 @@ def configure(dir: Optional[str] = None, format_strs=None,
             time.strftime('ln3diff-%Y%m%d-%H%M%S'))
     os.makedirs(dir, exist_ok=True)
     if format_strs is None:
-        format_strs = ['stdout', 'csv', 'json']
+        env = os.environ.get('LN3DIFF_LOG_FORMAT')
+        format_strs = env.split(',') if env else ['stdout', 'csv', 'json']
     sinks = tuple(_SINK_FACTORIES[f](dir, log_suffix) for f in format_strs)
     _CURRENT = MetricLogger(dir=dir, sinks=sinks)
     _CURRENT.log(f'logging to {dir}')
@@ -213,12 +237,15 @@ def log(*args, **kwargs):
 
 @contextlib.contextmanager
 def profile_kv(scopename: str):
-    """Accumulate wall-time under ``wait_<scope>`` (mean across calls)."""
+    """Accumulate TOTAL wall-time under ``wait_<scope>`` per dump window
+    (reference semantics)."""
     t0 = time.perf_counter()
     try:
         yield
     finally:
-        _CURRENT.logkv_mean('wait_' + scopename, time.perf_counter() - t0)
+        # total wall time in the scope per dump window (reference
+        # ``guided_diffusion/logger.py:299`` accumulates, not averages)
+        _CURRENT.logkv_sum('wait_' + scopename, time.perf_counter() - t0)
 
 
 def profile(n: str):

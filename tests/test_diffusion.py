@@ -422,5 +422,6 @@ class TestVLB:
                               x0, jax.random.PRNGKey(1))
         assert np.all(np.asarray(good['total_bpd'])
                       < np.asarray(bad['total_bpd']))
-        # oracle KL terms vanish for t>0
-        assert float(np.asarray(good['vb'])[:, 1:].max()) < 1e-3
+        # oracle KL terms vanish for t>0 (columns are t = T-1..0, so the
+        # decoder-NLL t=0 column is LAST — reference ordering)
+        assert float(np.asarray(good['vb'])[:, :-1].max()) < 1e-3

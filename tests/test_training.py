@@ -227,6 +227,8 @@ class TestLDMTrainer:
                 np.linspace(0.1, 2.0, 16))
         w = trainer.resampler.weights()
         assert w.std() > 0
+
+    def test_ema_moves_toward_params(self):
         mesh = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
         cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
                         hidden_size=32, depth=2, num_heads=2,
