@@ -281,6 +281,7 @@ class SynthesisBlockSG2(nn.Module):
     471-623``): conv0(up2) → conv1 → img-skip FIR upsample + ToRGB."""
     out_channels: int
     resolution: int
+    img_channels: int = 3            # ToRGB width (EG3D backbone uses 96)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -291,7 +292,7 @@ class SynthesisBlockSG2(nn.Module):
                               name='conv1')(x, w_latent, noise_mode)
         if img is not None:
             img = upsample2d(img, setup_filter(), up=2)
-        y = ToRGBSG2(name='torgb')(x, w_latent)
+        y = ToRGBSG2(self.img_channels, name='torgb')(x, w_latent)
         img = img + y if img is not None else y
         return x, img
 
