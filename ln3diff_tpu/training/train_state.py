@@ -129,8 +129,20 @@ def build_train_step(loss_fn: Callable, mesh: Mesh,
 
     def step_fn(state: TrainState, batch, rng):
         if microbatch_steps > 1:
-            def scan_body(carry, micro):
+            # rank-0/1 leaves (e.g. the live 'step' scalar for KL anneal)
+            # have no microbatch axis to scan over — broadcast them into
+            # every microbatch instead.
+            leaves, treedef = jax.tree_util.tree_flatten(batch)
+            scanned_mask = [jnp.ndim(l) >= 2 for l in leaves]
+            scanned = tuple(l for l, s in zip(leaves, scanned_mask) if s)
+            static = [l for l, s in zip(leaves, scanned_mask) if not s]
+
+            def scan_body(carry, scanned_micro):
                 acc_grads, i = carry
+                it_sc, it_st = iter(scanned_micro), iter(static)
+                micro = jax.tree_util.tree_unflatten(
+                    treedef, [next(it_sc) if s else next(it_st)
+                              for s in scanned_mask])
                 grads, loss, metrics = grads_of(
                     state.params, state.constants, micro,
                     jax.random.fold_in(rng, i))
@@ -139,7 +151,7 @@ def build_train_step(loss_fn: Callable, mesh: Mesh,
 
             zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             (grads, _), (losses, metrics) = jax.lax.scan(
-                scan_body, (zero, 0), batch)
+                scan_body, (zero, 0), scanned)
             grads = jax.tree_util.tree_map(
                 lambda g: g / microbatch_steps, grads)
             loss = losses.mean()
@@ -153,11 +165,23 @@ def build_train_step(loss_fn: Callable, mesh: Mesh,
         return new_state, metrics
 
     batch_sharding = NamedSharding(mesh, P(('data', 'fsdp')))
+    min_rank = 1
     if microbatch_steps > 1:
         batch_sharding = NamedSharding(mesh, P(None, ('data', 'fsdp')))
+        min_rank = 2
+    replicated = NamedSharding(mesh, P())
 
-    return jax.jit(
-        step_fn,
-        in_shardings=(None, batch_sharding, None),
-        donate_argnums=(0,) if donate else (),
-    )
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def call(state, batch, rng):
+        # per-leaf placement: batch tensors shard over (data, fsdp);
+        # rank-0 leaves (e.g. the live 'step' scalar for KL anneal)
+        # replicate — a single static in_shardings entry would reject
+        # them ("only valid for values of rank at least 1").
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, batch_sharding if jnp.ndim(x) >= min_rank
+                else replicated), batch)
+        return jitted(state, batch, rng)
+
+    return call

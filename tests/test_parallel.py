@@ -95,6 +95,40 @@ def test_grad_accum_microbatch():
         assert np.isfinite(float(metrics['loss']))
 
 
+@pytest.mark.parametrize('microbatch', [1, 2])
+def test_train_step_accepts_scalar_batch_leaf(microbatch):
+    """``batch['step']`` (the live KL-anneal scalar fed by
+    ``VAETrainer.run_loop``) is rank-0: a single static batch
+    in_sharding of P(('data','fsdp')) rejects it on a real mesh
+    ("only valid for values of rank at least 1").  build_train_step
+    must place rank-0 leaves replicated and still shard the tensors."""
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    model, variables, x, ctx = tiny_dit()
+    consts = {k: v for k, v in variables.items() if k != 'params'}
+
+    def loss_fn(params, consts_, batch, rng):
+        out = model.apply({'params': params, **(consts_ or {})},
+                          batch['x'], jnp.ones((batch['x'].shape[0],)),
+                          {'crossattn': batch['ctx']})
+        loss = jnp.mean((out - batch['x'])**2) * (batch['step'] * 0 + 1)
+        return loss, {'mse': loss, 'step': batch['step']}
+
+    with mesh:
+        state = create_train_state(variables['params'],
+                                   make_optimizer(1e-3), ema_rates=(),
+                                   constants=consts)
+        step = build_train_step(loss_fn, mesh, ema_rates=(),
+                                microbatch_steps=microbatch)
+        if microbatch > 1:
+            batch = {'x': jnp.stack([x, x]), 'ctx': jnp.stack([ctx, ctx]),
+                     'step': jnp.asarray(7.0)}
+        else:
+            batch = {'x': x, 'ctx': ctx, 'step': jnp.asarray(7.0)}
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics['loss']))
+        assert float(metrics['step']) == 7.0
+
+
 def test_render_rays_sharded_over_rays_matches_single_device():
     """VERDICT #8: shard ``render_rays`` over the ray axis on the full
     8-device mesh — the corner-packed gather + multi-operand sorts under
