@@ -131,3 +131,22 @@ def get_marching_tetrahedra():
         ctypes.c_int64,                  # max_tris
     ]
     return fn
+
+
+def get_marching_tetrahedra_cells():
+    """Sparse entry: marches only the listed candidate cells (linear
+    indices over the (nx-1, ny-1, nz-1) cell grid)."""
+    src = os.path.join(os.path.dirname(__file__), 'marching_cubes.cpp')
+    lib = build_and_load(src)
+    fn = lib.marching_tetrahedra_cells
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # grid
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # nx ny nz
+        ctypes.c_float,                  # iso
+        ctypes.POINTER(ctypes.c_int64),  # cells
+        ctypes.c_int64,                  # n_cells
+        ctypes.POINTER(ctypes.c_float),  # out_verts
+        ctypes.c_int64,                  # max_tris
+    ]
+    return fn

@@ -130,15 +130,19 @@ def _kernel(rows_ref, tx_ref, ty_ref, live_ref, inbox_ref, w1_ref, b1_ref,
     rgb_ref[:] = rgb
 
 
-@functools.partial(jax.jit, static_argnames=('activation', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('activation', 'interpret',
+                                             'tile'))
 def osg_pointwise_fused(rows, tx, ty, live, w1, b1, w2, b2,
                         activation: str = 'sigmoid',
-                        interpret: bool = False, inbox=None):
+                        interpret: bool = False, inbox=None,
+                        tile: int = TILE):
     """Pallas-fused pipeline; same contract as the reference fn.
 
-    M is padded to a TILE multiple internally (padded tail has live=0).
-    ``inbox`` (M,) optionally folds the bbox filter into the kernel.
+    M is padded to a ``tile`` multiple internally (padded tail has
+    live=0).  ``inbox`` (M,) optionally folds the bbox filter into the
+    kernel.
     """
+    TILE = tile
     n_planes, M, fourC = rows.shape
     C = fourC // 4
     H = w1.shape[1]

@@ -50,6 +50,27 @@ def query_grid_sigma(point_decoder: PointDecoder, grid_size: int,
     return sigmas.reshape(-1)[:n]
 
 
+def _crossing_cells(sigma: np.ndarray, threshold: float) -> np.ndarray:
+    """Vectorized candidate scan: linear indices (z fastest) of cells
+    whose 8 corners straddle the iso value.
+
+    The serial per-cell C++ loop costs ~1.4-2 s at 192³ even for an
+    EMPTY surface (7 M cells × 8 strided corner loads); this numpy scan
+    is ~16 vector passes over the grid (~50 ms) and typically leaves the
+    native marcher <1% of the cells."""
+    m = sigma > threshold
+    c = m[:-1, :-1, :-1]
+    any_in = c.copy()
+    all_in = c.copy()
+    for dx, dy, dz in ((0, 0, 1), (0, 1, 0), (0, 1, 1), (1, 0, 0),
+                       (1, 0, 1), (1, 1, 0), (1, 1, 1)):
+        n = sigma.shape[0] - 1
+        corner = m[dx:dx + n, dy:dy + n, dz:dz + n]
+        any_in |= corner
+        all_in &= corner
+    return np.flatnonzero(any_in & ~all_in)
+
+
 def march_grid(sigma: np.ndarray, grid_size: int, aabb: float = 0.45,
                threshold: float = 10.0):
     """Host stage: σ grid (numpy) → (verts world coords, faces).
@@ -57,20 +78,30 @@ def march_grid(sigma: np.ndarray, grid_size: int, aabb: float = 0.45,
     Split out so callers can overlap the native marching-tetrahedra run
     with in-flight device work (pipeline.__call__ marches while the
     orbit render executes)."""
-    from ..native.build import get_marching_tetrahedra
+    from ..native.build import get_marching_tetrahedra_cells
 
-    sigma = np.asarray(sigma, np.float32).reshape(
-        grid_size, grid_size, grid_size)
-    mt = get_marching_tetrahedra()
-    max_tris = 4_000_000
+    sigma = np.ascontiguousarray(
+        np.asarray(sigma, np.float32).reshape(grid_size, grid_size,
+                                              grid_size))
+    cells = np.ascontiguousarray(_crossing_cells(sigma, threshold))
+    mt = get_marching_tetrahedra_cells()
+    import ctypes
+    ip = ctypes.POINTER(ctypes.c_int64)
+    # ≤12 tris per crossing cell (6 tets × ≤2); cap the first guess so a
+    # pathological all-crossing noise field doesn't allocate gigabytes —
+    # the -needed return path reallocates exactly once.
+    max_tris = max(min(int(cells.size) * 12, 4_000_000), 1)
     out = np.empty((max_tris, 9), np.float32)
     n = mt(sigma.ctypes.data_as(_fp()), grid_size, grid_size, grid_size,
-           np.float32(threshold), out.ctypes.data_as(_fp()), max_tris)
+           np.float32(threshold), cells.ctypes.data_as(ip), cells.size,
+           out.ctypes.data_as(_fp()), max_tris)
     if n < 0:
         max_tris = -n
         out = np.empty((max_tris, 9), np.float32)
-        n = mt(sigma.ctypes.data_as(_fp()), grid_size, grid_size, grid_size,
-               np.float32(threshold), out.ctypes.data_as(_fp()), max_tris)
+        n = mt(sigma.ctypes.data_as(_fp()), grid_size, grid_size,
+               grid_size, np.float32(threshold),
+               cells.ctypes.data_as(ip), cells.size,
+               out.ctypes.data_as(_fp()), max_tris)
     tris = out[:n].reshape(n * 3, 3)
     scale = (2 * aabb) / (grid_size - 1)
     verts = tris * scale - aabb

@@ -27,6 +27,55 @@ class TestNativeBuild:
         assert fn is not None
 
 
+class TestSparseMarcher:
+    """march_grid routes through the sparse crossing-cell entry; it must
+    equal the dense scan exactly and stay fast on surface-free fields."""
+
+    def test_sparse_equals_dense(self):
+        import ctypes
+        from ln3diff_tpu.native.build import get_marching_tetrahedra
+        from ln3diff_tpu.render.mesh import march_grid
+
+        rng = np.random.default_rng(3)
+        # smooth blobby field with a real iso-surface
+        lin = np.linspace(-1, 1, 48)
+        x, y, z = np.meshgrid(lin, lin, lin, indexing='ij')
+        sigma = (12 - 9 * np.sqrt(x**2 + y**2 + z**2)
+                 + rng.normal(0, 0.5, x.shape)).astype(np.float32)
+        verts, faces = march_grid(sigma, 48, aabb=0.45, threshold=10.0)
+
+        fp = ctypes.POINTER(ctypes.c_float)
+        mt = get_marching_tetrahedra()
+        out = np.empty((1_000_000, 9), np.float32)
+        n = mt(np.ascontiguousarray(sigma).ctypes.data_as(fp), 48, 48, 48,
+               np.float32(10.0), out.ctypes.data_as(fp), 1_000_000)
+        assert n >= 0 and n * 3 == len(verts)
+        dense = out[:n].reshape(n * 3, 3) * (0.9 / 47) - 0.45
+        np.testing.assert_allclose(dense, verts, atol=1e-6)
+
+    def test_empty_field_no_triangles(self):
+        from ln3diff_tpu.render.mesh import march_grid
+        sigma = np.full((32, 32, 32), -5.0, np.float32)
+        verts, faces = march_grid(sigma, 32)
+        assert len(verts) == 0 and len(faces) == 0
+
+    def test_realloc_path(self):
+        """First-guess cap exceeded → the -needed realloc round trips."""
+        from ln3diff_tpu.render import mesh as mesh_mod
+        lin = np.linspace(-1, 1, 40)
+        x, y, z = np.meshgrid(lin, lin, lin, indexing='ij')
+        sigma = (12 - 9 * np.sqrt(x**2 + y**2 + z**2)).astype(np.float32)
+        want, _ = mesh_mod.march_grid(sigma, 40)
+        # shrink the initial cap far below the real triangle count
+        import unittest.mock as mock
+        real_min = min
+        with mock.patch.object(mesh_mod, 'min',
+                               lambda a, b: real_min(a, 8),
+                               create=True):
+            got, _ = mesh_mod.march_grid(sigma, 40)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 class TestGridQuery:
 
     def test_sigma_grid_values(self):

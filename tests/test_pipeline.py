@@ -121,6 +121,48 @@ class TestTextTo3DPipeline:
                 * 127.5).astype(np.uint8)
         np.testing.assert_array_equal(out8['video'], want)
 
+    def test_render_dtype_serving_matches_f32(self, tmp_path):
+        """``render_dtype=bf16`` (the serving knob: bf16 gather table +
+        bf16 kernel lerp) must track the f32 path closely and keep the
+        exported ``planes`` in the decoder's dtype."""
+        vae, vae_cfg = tiny_vae()
+        opts = RenderOptions(depth_resolution=6,
+                             depth_resolution_importance=6, box_warp=0.9,
+                             filter_out_of_bbox=True, deterministic=True)
+        cam0 = jnp.zeros((1, 25))
+        vae_vars = vae.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 16, 16, 12)), cam0, opts, 8,
+                            method=vae.init_decoder_paths)
+
+        def make(render_dtype):
+            return TextTo3DPipeline(
+                None, None,
+                lambda p, l: vae.apply(p, l, method=vae.decode_latent),
+                vae_vars,
+                lambda p, planes, cam: vae.apply(
+                    p, planes, cam, opts, 16, None,
+                    method=vae.render)['image_raw'],
+                lambda p, planes, coords: vae.apply(
+                    p, planes, coords, opts.box_warp,
+                    method=vae.query_points),
+                render_dtype=render_dtype)
+
+        latents = jax.random.normal(jax.random.PRNGKey(5),
+                                    (1, 16, 16, 12)) * 0.5
+        f32 = make(None)
+        bf16 = make(jnp.bfloat16)
+        planes = f32._decode_jit(vae_vars, latents)
+        v_f32 = f32.render_orbit(planes, num_frames=2,
+                                 render_resolution=16)
+        v_bf16 = bf16.render_orbit(planes.astype(jnp.bfloat16),
+                                   num_frames=2, render_resolution=16)
+        a = np.asarray(v_f32, np.float32)
+        b = np.asarray(v_bf16, np.float32)
+        assert np.isfinite(b).all()
+        # bf16 features quantize at ~2^-8 relative; composited images
+        # stay within a few 1e-2 absolute on the [-1, 1] range.
+        np.testing.assert_allclose(a, b, atol=5e-2)
+
     def test_flow_matching_kind(self):
         """FM sampler path through the pipeline (no render)."""
         den_cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
