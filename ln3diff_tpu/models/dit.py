@@ -91,10 +91,15 @@ def _sdpa(q, k, v):
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention (fused under XLA)."""
+    """Multi-head self-attention (fused under XLA).
+
+    ``fused=True`` (serving knob) routes through the VMEM-resident Pallas
+    kernel (``ops/fused_attention.py``) — same f32 softmax math, no HBM
+    score round-trip; only profitable at short L on TPU."""
     num_heads: int
     qkv_bias: bool = True
     qk_norm: bool = False
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -112,7 +117,11 @@ class Attention(nn.Module):
         if self.qk_norm:
             q = nn.RMSNorm(epsilon=1e-5, dtype=self.dtype, name='q_norm')(q)
             k = nn.RMSNorm(epsilon=1e-5, dtype=self.dtype, name='k_norm')(k)
-        out = _sdpa(q, k, v)
+        if self.fused:
+            from ..ops.fused_attention import sdpa_auto
+            out = sdpa_auto(q, k, v, use_fused=True)
+        else:
+            out = _sdpa(q, k, v)
         out = out.reshape(B, L, D)
         return nn.Dense(D, dtype=self.dtype, name='proj')(out)
 
@@ -242,6 +251,8 @@ class DiTBlock(nn.Module):
     # opt into the tanh approximation (≤1e-3 abs, subsumed by bf16
     # compute noise) — measured 1.6 ms/step cheaper on DiT-L/2 @ v5e.
     exact_gelu: bool = True
+    # serving knob: VMEM-resident Pallas self-attention (short-L only)
+    fused_attention: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -278,7 +289,8 @@ class DiTBlock(nn.Module):
 
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
 
-        attn = Attention(self.num_heads, qk_norm=qk_norm, dtype=self.dtype,
+        attn = Attention(self.num_heads, qk_norm=qk_norm,
+                         fused=self.fused_attention, dtype=self.dtype,
                          name='attn')
         h = t2i_modulate(norm('norm1')(x), shift_msa, scale_msa)
         if self.variant.startswith('image-') and dino_tokens is not None:
@@ -380,6 +392,8 @@ class DiTConfig:
     learn_sigma: bool = False
     # serving mode: tanh-approximate MLP GELU (see DiTBlock.exact_gelu)
     exact_gelu: bool = True
+    # serving mode: Pallas VMEM-resident self-attention (ops/fused_attention)
+    fused_attention: bool = False
     dtype: Any = jnp.bfloat16
 
 
@@ -469,6 +483,7 @@ class DiT_TriLatent(nn.Module):
                              variant=cfg.variant,
                              context_dim=cfg.context_dim,
                              exact_gelu=cfg.exact_gelu,
+                             fused_attention=cfg.fused_attention,
                              dtype=dtype, name='block')(
                                  x, c, context=crossattn, dino_tokens=dino)
                 return x, None
