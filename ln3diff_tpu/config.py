@@ -52,6 +52,103 @@ RENDER_PRESETS: dict[str, RenderOptions] = {
     'ffhq': RenderOptions(
         depth_resolution=48, depth_resolution_importance=48,
         ray_start=2.25, ray_end=3.3, box_warp=1.0, white_back=False),
+    # AFHQ (:490-503): same camera/near/far as FFHQ, Hybrid8X SR head.
+    'afhq': RenderOptions(
+        depth_resolution=48, depth_resolution_importance=48,
+        ray_start=2.25, ray_end=3.3, box_warp=1.0, white_back=False),
+    # Legacy fixed-ray ShapeNet (:504-518).
+    'shapenet': RenderOptions(
+        depth_resolution=64, depth_resolution_importance=64,
+        ray_start=0.2, ray_end=2.2, box_warp=2.0, white_back=True),
+    # EG3D-rendered ShapeNet family (:519-566): radius-1.2 orbit,
+    # near/far 0.1/1.9, box_warp 1.1; depth-resolution ladder.
+    'eg3d_shapenet_aug_resolution': RenderOptions(
+        depth_resolution=80, depth_resolution_importance=80,
+        ray_start=0.1, ray_end=1.9, box_warp=1.1, white_back=True),
+    'eg3d_shapenet_aug_resolution_chair': RenderOptions(
+        depth_resolution=96, depth_resolution_importance=96,
+        ray_start=0.1, ray_end=1.9, box_warp=1.1, white_back=True),
+    'eg3d_shapenet_aug_resolution_chair_128': RenderOptions(
+        depth_resolution=128, depth_resolution_importance=128,
+        ray_start=0.1, ray_end=1.9, box_warp=1.1, white_back=True),
+    'eg3d_shapenet_aug_resolution_chair_64': RenderOptions(
+        depth_resolution=64, depth_resolution_importance=64,
+        ray_start=0.1, ray_end=1.9, box_warp=1.1, white_back=True),
+    # (:579-599) — same rays as chair_128; Residual SR head (see
+    # RENDER_PRESET_SR).
+    'eg3d_shapenet_aug_resolution_chair_128_residualSR': RenderOptions(
+        depth_resolution=128, depth_resolution_importance=128,
+        ray_start=0.1, ray_end=1.9, box_warp=1.1, white_back=True),
+    # SRN-rendered chairs (:567-578): radius-2 orbit.
+    'srn_shapenet_aug_resolution_chair_128': RenderOptions(
+        depth_resolution=128, depth_resolution_importance=128,
+        ray_start=1.25, ray_end=2.75, box_warp=1.5, white_back=True),
+    # 'tuneray' family (:600-730,870-931): near/far come from the shell
+    # scripts (--ray_start 0.6 --ray_end 1.8, radius 1.2; box_warp =
+    # end - start); only the sample-count ladder and SR head differ.
+    'shapenet_tuneray': RenderOptions(
+        depth_resolution=64, depth_resolution_importance=64,
+        ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    'shapenet_tuneray_aug_resolution': RenderOptions(
+        depth_resolution=80, depth_resolution_importance=80,
+        ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    'shapenet_tuneray_aug_resolution_64': RenderOptions(
+        depth_resolution=128, depth_resolution_importance=128,
+        ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    'shapenet_tuneray_aug_resolution_64_96': RenderOptions(
+        depth_resolution=96, depth_resolution_importance=96,
+        ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    'shapenet_tuneray_aug_resolution_64_96_nearestSR': RenderOptions(
+        depth_resolution=96, depth_resolution_importance=96,
+        ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    'shapenet_tuneray_aug_resolution_64_96_nearestResidualSR':
+        RenderOptions(
+            depth_resolution=96, depth_resolution_importance=96,
+            ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    'shapenet_tuneray_aug_resolution_64_64_nearestResidualSR':
+        RenderOptions(
+            depth_resolution=64, depth_resolution_importance=64,
+            ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    'shapenet_tuneray_aug_resolution_64_104': RenderOptions(
+        depth_resolution=104, depth_resolution_importance=104,
+        ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    # (:702-730) — identical geometry to 64_64_nearestSR; patch-ray
+    # sampling is a trainer knob here (VAETrainConfig
+    # .patch_rendering_resolution), not a render option.
+    'shapenet_tuneray_aug_resolution_64_64_nearestSR_patch':
+        RenderOptions(
+            depth_resolution=64, depth_resolution_importance=64,
+            ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    # (:731-760) objaverse with fixed rays + NearestConvSR (pre-'auto'
+    # cfg; radius 1.946 orbit).
+    'objverse_tuneray_aug_resolution_64_64_nearestSR': RenderOptions(
+        depth_resolution=64, depth_resolution_importance=64,
+        ray_start=0.6, ray_end=1.8, box_warp=1.2, white_back=True),
+    # (:838-869) 96-sample variant of the released auto cfg.
+    'objverse_tuneray_aug_resolution_96_96_auto': RenderOptions(
+        depth_resolution=96, depth_resolution_importance=96,
+        ray_start='auto', ray_end='auto', box_warp=0.9, white_back=True,
+        filter_out_of_bbox=True, sampler_bbox_min=-0.45,
+        sampler_bbox_max=0.45),
+}
+
+# Which render-space SR head the reference couples to each preset
+# (``superresolution_module`` in rendering_options_defaults; our VAE
+# configs hold the SR choice — this map documents the pairing for
+# preset-faithful assembly).  Presets absent here use the table default
+# NearestConvSR (nsr/script_util.py:496).
+RENDER_PRESET_SR = {
+    'ffhq': 'stylegan-8xdc',          # SuperresolutionHybrid8XDC
+    'afhq': 'stylegan-8x',            # SuperresolutionHybrid8X
+    'eg3d_shapenet_aug_resolution_chair_128_residualSR':
+        'nearest-conv-residual',
+    'shapenet_tuneray_aug_resolution_64_96_nearestResidualSR':
+        'nearest-conv-residual',
+    'shapenet_tuneray_aug_resolution_64_64_nearestResidualSR':
+        'nearest-conv-residual',
+    'objverse_tuneray_aug_resolution_64_64_auto': None,  # no render SR
+    'objverse_tuneray_aug_resolution_128_128_auto': None,
+    'objverse_tuneray_aug_resolution_96_96_auto': None,
 }
 
 

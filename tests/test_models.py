@@ -216,6 +216,45 @@ class TestMVDiT:
 
 class TestReleasePresets:
 
+    def test_render_preset_table_matches_reference_names(self):
+        """Every named cfg branch of the reference
+        ``rendering_options_defaults`` (nsr/script_util.py:466-931) has a
+        same-named RenderOptions preset."""
+        from ln3diff_tpu.config import RENDER_PRESETS, RENDER_PRESET_SR
+        from ln3diff_tpu.render.renderer import RenderOptions
+        reference_names = [
+            'ffhq', 'afhq', 'shapenet',
+            'eg3d_shapenet_aug_resolution',
+            'eg3d_shapenet_aug_resolution_chair',
+            'eg3d_shapenet_aug_resolution_chair_128',
+            'eg3d_shapenet_aug_resolution_chair_64',
+            'srn_shapenet_aug_resolution_chair_128',
+            'eg3d_shapenet_aug_resolution_chair_128_residualSR',
+            'shapenet_tuneray',
+            'shapenet_tuneray_aug_resolution',
+            'shapenet_tuneray_aug_resolution_64',
+            'shapenet_tuneray_aug_resolution_64_96',
+            'shapenet_tuneray_aug_resolution_64_96_nearestSR',
+            'shapenet_tuneray_aug_resolution_64_64_nearestSR',
+            'shapenet_tuneray_aug_resolution_64_64_nearestSR_patch',
+            'objverse_tuneray_aug_resolution_64_64_nearestSR',
+            'objverse_tuneray_aug_resolution_64_64_auto',
+            'objverse_tuneray_aug_resolution_128_128_auto',
+            'objverse_tuneray_aug_resolution_96_96_auto',
+            'shapenet_tuneray_aug_resolution_64_96_nearestResidualSR',
+            'shapenet_tuneray_aug_resolution_64_64_nearestResidualSR',
+            'shapenet_tuneray_aug_resolution_64_104',
+        ]
+        for name in reference_names:
+            assert name in RENDER_PRESETS, name
+            opts = RENDER_PRESETS[name]
+            assert isinstance(opts, RenderOptions)
+            assert opts.samples_total > 0
+            # fixed-ray presets must carry a numeric near < far
+            if opts.ray_start != 'auto':
+                assert float(opts.ray_start) < float(opts.ray_end), name
+        assert set(RENDER_PRESET_SR) <= set(RENDER_PRESETS)
+
     def test_all_release_presets_resolve(self):
         from ln3diff_tpu.config import (RELEASE_PRESETS, denoiser_preset,
                                         release_preset, vae_preset,
