@@ -700,3 +700,44 @@ def convert_mapping_network(sd: Mapping, num_layers: int = 8,
     if f'{p}w_avg' in sd:
         out['_w_avg'] = _np(sd[f'{p}w_avg'])
     return out
+
+
+def convert_stylegan3_synthesis(sd: Mapping, prefix: str = ''):
+    """StyleGAN3 ``SynthesisNetwork`` (``nsr/networks_stylegan3.py:517``)
+    → our ``SynthesisNetworkSG3`` trees.
+
+    Layer modules are discovered from the ``L{idx}_{size}_{ch}`` key
+    prefixes (our flax submodules use the identical naming scheme).
+    Returns ``(params, stats)``: the Fourier ``freqs``/``phases``/
+    ``transform`` buffers and per-layer ``magnitude_ema`` go to the
+    ``'stats'`` collection.
+    """
+    p = prefix
+    params = {'input': {
+        'weight': _np(sd[f'{p}input.weight']),
+        'affine_kernel': np.transpose(_np(sd[f'{p}input.affine.weight']),
+                                      (1, 0)),
+        'affine_bias': _np(sd[f'{p}input.affine.bias']),
+    }}
+    stats = {'input': {
+        'freqs': _np(sd[f'{p}input.freqs']),
+        'phases': _np(sd[f'{p}input.phases']),
+        'transform': _np(sd[f'{p}input.transform']),
+    }}
+    names = sorted({k[len(p):].split('.')[0] for k in sd
+                    if k.startswith(f'{p}L')},
+                   key=lambda n: int(n[1:].split('_')[0]))
+    for name in names:
+        q = f'{p}{name}'
+        params[name] = {
+            'affine': {
+                'kernel': np.transpose(_np(sd[f'{q}.affine.weight']),
+                                       (1, 0)),
+                'bias': _np(sd[f'{q}.affine.bias']),
+            },
+            # (Co, Ci, kh, kw) → (kh, kw, Ci, Co)
+            'weight': np.transpose(_np(sd[f'{q}.weight']), (2, 3, 1, 0)),
+            'bias': _np(sd[f'{q}.bias']),
+        }
+        stats[name] = {'magnitude_ema': _np(sd[f'{q}.magnitude_ema'])}
+    return params, stats
