@@ -107,6 +107,35 @@ class TestDiT:
         y = model.apply(variables, x, t, ctx)
         np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-6)
 
+    @pytest.mark.parametrize('policy', ['full', 'dots'])
+    def test_remat_gradients_identical(self, policy):
+        """Scanned-block remat (both policies) must be a pure memory
+        trade: gradients bitwise-equal to the non-remat model.  Params
+        are perturbed off the adaLN-zero saddle first."""
+        import dataclasses
+        cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                        hidden_size=64, depth=4, num_heads=2,
+                        variant='text', dtype=jnp.float32)
+        m0 = DiT_TriLatent(cfg)
+        m1 = DiT_TriLatent(dataclasses.replace(cfg, remat=True,
+                                               remat_policy=policy))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 12))
+        t = jnp.array([3.0, 7.0])
+        ctx = {'crossattn': jax.random.normal(jax.random.PRNGKey(1),
+                                              (2, 77, 768))}
+        v = m0.init(jax.random.PRNGKey(2), x, t, ctx)
+        v = jax.tree_util.tree_map(
+            lambda a: a + 0.01 * jnp.ones_like(a), v)
+
+        g0 = jax.grad(lambda p: jnp.sum(m0.apply(p, x, t, ctx) ** 2))(v)
+        g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x, t, ctx) ** 2))(v)
+        # the recompute fuses differently, reassociating a few f32 ops —
+        # agreement is ulp-level, not bitwise
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-8)
+
     def test_dit2_forward(self):
         cfg = DiT2Config(tokens_per_plane=16, hidden_size=32, depth=4,
                          num_heads=2, dtype=jnp.float32)
