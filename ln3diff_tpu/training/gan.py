@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.stylegan import DiscriminatorConfig, StyleGANDiscriminator
+from .augment import AugmentConfig, augment_pipe, update_ada_p
 from .train_state import TrainState, create_train_state, make_optimizer
 
 
@@ -31,6 +32,12 @@ class GANConfig:
     r1_gamma: float = 1.0
     disc_start_step: int = 0          # delay (reference delay iter)
     adaptive_weight: bool = False     # scale by grad-norm ratio
+    # Adaptive discriminator augmentation (reference vendors
+    # nsr/augment.py for this; see training/augment.py).  None = off.
+    ada: AugmentConfig | None = None
+    ada_target: float = 0.6
+    ada_interval: int = 4
+    ada_kimg: float = 500.0
 
 
 def hinge_d_loss(logits_real: jax.Array, logits_fake: jax.Array):
@@ -80,40 +87,78 @@ class AdversarialHead:
         tx = make_optimizer(cfg.disc_lr, weight_decay=0.0, grad_clip=None,
                             betas=(0.0, 0.99))
         self.state = create_train_state(params, tx)
+        # ADA controller state (host side): current strength + running
+        # mean of sign(D(real)) between controller updates.
+        self.ada_p = 0.0
+        self._ada_signs: list = []
+        self._ada_key = jax.random.PRNGKey(seed + 1)
+        self._num_d_steps = 0
+
+        def maybe_aug(key, img, p):
+            if cfg.ada is None:
+                return img
+            return augment_pipe(key, img, cfg.ada, p)
 
         def apply(params, img):
             return self.model.apply({'params': params}, img)
 
         self._apply = apply
 
-        def d_loss_fn(params, real, fake):
+        def g_loss_fn(params, fake, key, p):
+            # G trains through the same augmented D it is judged by.
+            return vanilla_g_loss(apply(params, maybe_aug(key, fake, p)))
+
+        self._g_loss = jax.jit(g_loss_fn)
+
+        def d_loss_fn(params, real, fake, key, p):
+            kr, kf = jax.random.split(key)
+            real = maybe_aug(kr, real, p)
             lr = apply(params, real)
-            lf = apply(params, jax.lax.stop_gradient(fake))
+            lf = apply(params, maybe_aug(
+                kf, jax.lax.stop_gradient(fake), p))
             loss = hinge_d_loss(lr, lf)
             r1 = r1_penalty(apply, params, real)
             total = loss + 0.5 * cfg.r1_gamma * r1
             return total, {'d_loss': loss, 'r1': r1,
                            'logits_real': lr.mean(),
-                           'logits_fake': lf.mean()}
+                           'logits_fake': lf.mean(),
+                           'real_sign': jnp.sign(lr).mean()}
 
         self._d_step = jax.jit(
-            lambda state, real, fake: _apply_d_step(state, real, fake,
-                                                    d_loss_fn))
+            lambda state, real, fake, key, p: _apply_d_step(
+                state, real, fake, key, p, d_loss_fn))
+
+    def _next_key(self):
+        self._ada_key, sub = jax.random.split(self._ada_key)
+        return sub
 
     def generator_loss(self, fake: jax.Array) -> jax.Array:
         """Adversarial term for the VAE/generator update (uses the current
         discriminator params, stop-gradient on D)."""
-        logits = self._apply(jax.lax.stop_gradient(
-            self.state.params), fake)
-        return self.cfg.adv_lambda * vanilla_g_loss(logits)
+        return self.cfg.adv_lambda * self._g_loss(
+            jax.lax.stop_gradient(self.state.params), fake,
+            self._next_key(), self.ada_p)
 
     def disc_step(self, real: jax.Array, fake: jax.Array):
-        self.state, metrics = self._d_step(self.state, real, fake)
+        self.state, metrics = self._d_step(self.state, real, fake,
+                                           self._next_key(), self.ada_p)
+        self._num_d_steps += 1
+        if self.cfg.ada is not None:
+            self._ada_signs.append(metrics['real_sign'])
+            if self._num_d_steps % self.cfg.ada_interval == 0:
+                r_t = float(jnp.mean(jnp.stack(self._ada_signs)))
+                self.ada_p = float(update_ada_p(
+                    self.ada_p, r_t, batch_size=real.shape[0],
+                    ada_target=self.cfg.ada_target,
+                    ada_interval=self.cfg.ada_interval,
+                    ada_kimg=self.cfg.ada_kimg))
+                self._ada_signs = []
+            metrics = dict(metrics, ada_p=self.ada_p)
         return metrics
 
 
-def _apply_d_step(state: TrainState, real, fake, d_loss_fn):
+def _apply_d_step(state: TrainState, real, fake, key, p, d_loss_fn):
     (loss, metrics), grads = jax.value_and_grad(
-        d_loss_fn, has_aux=True)(state.params, real, fake)
+        d_loss_fn, has_aux=True)(state.params, real, fake, key, p)
     new_state = state.apply_gradients(grads)
     return new_state, dict(metrics, d_total=loss)

@@ -42,6 +42,28 @@ class TestGANLosses:
         g_loss1 = float(head.generator_loss(fake))
         assert g_loss0 != g_loss1
 
+    def test_adversarial_head_with_ada(self):
+        from ln3diff_tpu.training.augment import bgc_config
+        head = AdversarialHead(GANConfig(
+            disc=DiscriminatorConfig(img_resolution=16, base_channels=8,
+                                     max_channels=16),
+            disc_lr=1e-3, r1_gamma=0.1,
+            ada=bgc_config(), ada_interval=2, ada_kimg=0.01))
+        head.ada_p = 0.5
+        rng = np.random.default_rng(2)
+        real = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)
+                                       ).astype(np.float32))
+        fake = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)
+                                       ).astype(np.float32))
+        assert np.isfinite(float(head.generator_loss(fake)))
+        m1 = head.disc_step(real, fake)
+        assert np.isfinite(float(m1['d_total']))
+        p_before = m1['ada_p']
+        m2 = head.disc_step(real, fake)   # controller fires (interval=2)
+        # tiny ada_kimg → p moves on the first controller update
+        assert m2['ada_p'] != p_before
+        assert 0.0 <= m2['ada_p'] <= 1.0
+
     def test_r1_positive(self):
         head = AdversarialHead(GANConfig(
             disc=DiscriminatorConfig(img_resolution=16, base_channels=8,
