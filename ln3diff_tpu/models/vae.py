@@ -53,6 +53,11 @@ class TriplaneVAEConfig:
     encoder_res_blocks: int = 1
     img_resolution: int = 256
     num_views: int = 4                 # 0 → mono encoder; >4 → dynamic mean
+    # 'sd' (SD conv MVEncoder, released archs) or 'lgm' (LGM MVUNet
+    # encoder with joint-view attention, reference 'lgm' dino_version)
+    encoder_type: str = 'sd'
+    lgm_down_channels: tuple = (64, 128, 256, 512)
+    lgm_down_attention: tuple = (False, False, True, True)
     # bottleneck
     ldm_z_channels: int = 4            # per-plane latent channels
     latent_size: int = 32              # latent h = w
@@ -99,7 +104,16 @@ class TriplaneVAE(nn.Module):
             num_res_blocks=cfg.encoder_res_blocks,
             resolution=cfg.img_resolution, z_channels=3 * cfg.ldm_z_channels,
             double_z=True, dtype=cfg.dtype)
-        if cfg.num_views == 0:
+        if cfg.encoder_type == 'lgm':
+            from .mv_unet import LGMMVEncoder, MVUNetConfig
+            self.encoder = LGMMVEncoder(
+                MVUNetConfig(in_channels=cfg.encoder_in_channels,
+                             down_channels=tuple(cfg.lgm_down_channels),
+                             down_attention=tuple(cfg.lgm_down_attention),
+                             num_frames=max(cfg.num_views, 1),
+                             dtype=cfg.dtype),
+                z_channels=3 * cfg.ldm_z_channels, double_z=True)
+        elif cfg.num_views == 0:
             self.encoder = Encoder(enc_cfg)
         elif cfg.num_views > 4:
             self.encoder = MVEncoderDynamic(enc_cfg,
