@@ -478,6 +478,67 @@ class GaussianDiffusion:
                                  jnp.arange(self.num_timesteps))
         return x
 
+    def plms_sample_loop(self, model_fn: ModelFn, shape, key,
+                         model_kwargs=None,
+                         mixing_logit: Optional[jax.Array] = None,
+                         x_init: Optional[jax.Array] = None):
+        """PLMS sampling (pseudo linear multistep, reference
+        ``ldm/models/diffusion/plms.py:144-242``): the deterministic DDIM
+        transfer applied to an Adams-Bashforth extrapolation over the
+        last ≤4 eps evaluations; the first step substitutes a
+        two-evaluation Heun-style average.
+
+        One jitted ``lax.scan`` with a (3, *shape) eps-history carry;
+        the warm-up step is unrolled outside the scan so no model call
+        sits under ``lax.cond``.
+        """
+        model_kwargs = model_kwargs or {}
+        if x_init is None:
+            key, k0 = jax.random.split(key)
+            x = jax.random.normal(k0, shape)
+        else:
+            x = x_init
+
+        def eps_at(x, t):
+            out = model_fn(x, self.scale_t(t), **model_kwargs)
+            _, _, _, x0 = self.p_mean_variance(out, x, t, mixing_logit)
+            return self.predict_eps_from_xstart(x, t, x0)
+
+        def transfer(x, t, eps):
+            # deterministic DDIM step with the (extrapolated) eps
+            x0 = self.predict_xstart_from_eps(x, t, eps)
+            alpha_bar_prev = self._extract(self.alphas_cumprod_prev, t,
+                                           x.ndim)
+            return (x0 * jnp.sqrt(alpha_bar_prev)
+                    + jnp.sqrt(1 - alpha_bar_prev) * eps)
+
+        # warm-up (i = 0): Heun average of eps at t and at t-1
+        T = self.num_timesteps
+        t0 = jnp.full((shape[0],), T - 1, jnp.int32)
+        e0 = eps_at(x, t0)
+        x_prov = transfer(x, t0, e0)
+        e0_next = eps_at(x_prov, jnp.maximum(t0 - 1, 0))
+        x = transfer(x, t0, (e0 + e0_next) / 2)
+        hist = jnp.stack([e0, jnp.zeros(shape), jnp.zeros(shape)])
+
+        def step(carry, i):
+            x, hist, n = carry
+            t = jnp.full((shape[0],), T - 1 - i, jnp.int32)
+            e_t = eps_at(x, t)
+            h0, h1, h2 = hist[0], hist[1], hist[2]
+            eps_prime = jax.lax.switch(
+                jnp.minimum(n, 3) - 1,
+                [lambda: (3 * e_t - h0) / 2,
+                 lambda: (23 * e_t - 16 * h0 + 5 * h1) / 12,
+                 lambda: (55 * e_t - 59 * h0 + 37 * h1 - 9 * h2) / 24])
+            x = transfer(x, t, eps_prime)
+            hist = jnp.stack([e_t, h0, h1])
+            return (x, hist, n + 1), None
+
+        (x, _, _), _ = jax.lax.scan(
+            step, (x, hist, jnp.int32(1)), jnp.arange(1, T))
+        return x
+
     def ddim_reverse_sample_loop(self, model_fn: ModelFn, x, model_kwargs=None,
                                  mixing_logit=None):
         """Deterministic encoding x0 → x_T (reference

@@ -45,7 +45,7 @@ def _frames_to_uint8(v):
 
 @dataclasses.dataclass
 class SamplerSpec:
-    kind: str = 'flow_matching'     # 'flow_matching' | 'ddim'
+    kind: str = 'flow_matching'  # 'flow_matching' | 'ddim' | 'plms' | 'dpm'
     num_steps: int = 250
     cfg_scale: float = 6.5
     triplane_scaling_divider: float = 0.96806
@@ -129,6 +129,12 @@ class TextTo3DPipeline:
         elif spec.kind == 'ddim':
             assert self.diffusion is not None
             x = self.diffusion.ddim_sample_loop(
+                cfg_fn, shape, key, mixing_logit=self.mixing_logit)
+        elif spec.kind == 'plms':
+            # pseudo linear multistep over the (possibly respaced)
+            # schedule — pass a respaced diffusion to control NFE.
+            assert self.diffusion is not None
+            x = self.diffusion.plms_sample_loop(
                 cfg_fn, shape, key, mixing_logit=self.mixing_logit)
         elif spec.kind == 'dpm':
             # DPM-Solver++(2M): spec.num_steps solver steps over the FULL

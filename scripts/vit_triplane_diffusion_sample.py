@@ -31,9 +31,10 @@ def main():
     parser.add_argument('--denoiser', default='t23d-dit-l2')
     parser.add_argument('--vae', default='objaverse-s')
     parser.add_argument('--objective', default='ddim',
-                        choices=['ddim', 'flow_matching', 'dpm'],
+                        choices=['ddim', 'flow_matching', 'dpm', 'plms'],
                         help="dpm = DPM-Solver++(2M): ~25 steps match "
-                             "250-step ddim")
+                             "250-step ddim; plms = 4th-order multistep "
+                             "over the respaced schedule")
     parser.add_argument('--num_steps', type=int, default=250)
     parser.add_argument('--unconditional_guidance_scale', type=float,
                         default=6.5)

@@ -239,6 +239,29 @@ class TestTextTo3DPipeline:
         assert np.isfinite(np.asarray(lat)).all()
 
 
+    def test_plms_kind(self):
+        """PLMS sampler path through the pipeline (no render)."""
+        den_cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                            hidden_size=32, depth=2, num_heads=2,
+                            variant='text', context_dim=16,
+                            dtype=jnp.float32)
+        denoiser = DiT_TriLatent(den_cfg)
+        den_vars = denoiser.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 8, 8, 12)), jnp.zeros((2,)),
+                                 {'crossattn': jnp.zeros((2, 7, 16))})
+        pipeline = TextTo3DPipeline(
+            lambda p, x, t, c: denoiser.apply(p, x, t, c), den_vars,
+            None, None, None, None,
+            sampler=SamplerSpec(kind='plms', num_steps=6,
+                                cfg_scale=1.5, latent_shape=(8, 8, 12)),
+            diffusion=make_diffusion(steps=100, timestep_respacing='6'))
+        lat = pipeline.sample_latents(jax.random.PRNGKey(1), 2,
+                                      {'crossattn': jnp.ones((1, 7, 16))},
+                                      {'crossattn': jnp.zeros((1, 7, 16))})
+        assert lat.shape == (2, 8, 8, 12)
+        assert np.isfinite(np.asarray(lat)).all()
+
+
 class TestScalingDivider:
     """Regression for the round-1 divider double-application: decode must
     receive sample × triplane_scaling_divider (reference decodes
