@@ -21,15 +21,10 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-try:
-    import lmdb as _lmdb
-except Exception:  # pragma: no cover
-    _lmdb = None
+from ln3diff_tpu.utils.misc import optional_import
 
-try:
-    import lz4.frame as _lz4
-except Exception:  # pragma: no cover
-    _lz4 = None
+_lmdb = optional_import('lmdb')
+_lz4 = optional_import('lz4.frame')
 
 
 def compress_array(arr: np.ndarray, method: str = 'gzip') -> bytes:

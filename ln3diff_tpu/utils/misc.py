@@ -30,6 +30,24 @@ class EasyDict(dict):
         del self[name]
 
 
+def optional_import(name: str):
+    """Import an optional dependency; None when absent.
+
+    Also returns None for test-harness stand-in modules (marked
+    ``__ln3diff_stub__``) that the reference-parity import shim leaves in
+    ``sys.modules`` — a plain ``try: import x`` would mistake those for a
+    real installation and take the dependency-present code path.
+    """
+    try:
+        mod = importlib.import_module(name)
+    except Exception:
+        return None
+    root = importlib.import_module(name.partition('.')[0])
+    if getattr(root, '__ln3diff_stub__', False):
+        return None
+    return mod
+
+
 def get_obj_by_name(name: str):
     """'pkg.module.Class' → class object."""
     module_name, _, obj_name = name.rpartition('.')

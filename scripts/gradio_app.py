@@ -90,6 +90,9 @@ def build_runner(args):
                        render_resolution=args.render_resolution)
         frames = save_video_frames(np.asarray(out['video'][0]),
                                    os.path.join(outdir, tag))
+        from ln3diff_tpu.utils.video import save_video_avi
+        save_video_avi(np.asarray(out['video'][0]),
+                       os.path.join(outdir, f'{tag}.avi'))
         return frames, mesh_path
 
     return run_i23d
@@ -114,11 +117,9 @@ def main():
 
     run_i23d = build_runner(args)
 
-    try:
-        import gradio as gr
-        have_gradio = True
-    except ImportError:
-        have_gradio = False
+    from ln3diff_tpu.utils.misc import optional_import
+    gr = optional_import('gradio')
+    have_gradio = gr is not None
 
     if have_gradio and not args.image:
         import numpy as np

@@ -2,7 +2,8 @@
 
 Mirrors reference ``scripts/vit_triplane_diffusion_sample_objaverse.py``:
 per prompt → conditioner → CFG denoiser sampling → VAE decode → orbit
-video PNGs + mesh export.  With ``--denoiser_ckpt``/``--vae_ckpt`` absent
+video (MJPEG avi / gif / PNGs) + mesh export.  With
+``--denoiser_ckpt``/``--vae_ckpt`` absent
 it runs random-weight (pipeline smoke / timing mode).
 """
 
@@ -46,6 +47,12 @@ def main():
     parser.add_argument('--denoiser_ckpt', default='')
     parser.add_argument('--vae_ckpt', default='')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--video_format', default='avi',
+                        choices=['avi', 'gif', 'png'],
+                        help='orbit output container: MJPEG avi '
+                             '(reference writes mp4), animated gif, or '
+                             'per-frame PNGs')
+    parser.add_argument('--fps', type=int, default=24)
     parser.add_argument('--preset', default='',
                         help='RELEASE_PRESETS name (e.g. '
                              "'objaverse/t23d-dit', 'shapenet/car-t23d') "
@@ -219,7 +226,15 @@ def main():
                        mesh_grid=args.mesh_grid,
                        render_resolution=args.render_resolution)
         frames = np.asarray(out['video'][0])
-        save_video_frames(frames, os.path.join(args.outdir, f'{p_i:02d}'))
+        stem = os.path.join(args.outdir, f'{p_i:02d}')
+        if args.video_format == 'avi':
+            from ln3diff_tpu.utils.video import save_video_avi
+            save_video_avi(frames, stem + '.avi', fps=args.fps)
+        elif args.video_format == 'gif':
+            from ln3diff_tpu.utils.video import save_video_gif
+            save_video_gif(frames, stem + '.gif', fps=args.fps)
+        else:
+            save_video_frames(frames, stem)
         wall = time.perf_counter() - t_start
         logger.log(f'[{p_i}] "{prompt}": {wall:.1f} s '
                    f'({args.num_steps} steps, {args.num_frames} frames'

@@ -268,6 +268,11 @@ class _StubLoader:
     def create_module(self, spec):
         mod = types.ModuleType(spec.name)
         mod.__path__ = []
+        # Stubs persist in sys.modules for the whole process, so package
+        # code probing optional deps (``try: import lmdb``) would see
+        # them and take the present path.  Mark them so those probes
+        # (ln3diff_tpu.utils.misc.optional_import) treat them as absent.
+        mod.__ln3diff_stub__ = True
         mod.__getattr__ = lambda attr, _n=spec.name: _stub_attr(_n, attr)
         return mod
 
