@@ -50,3 +50,7 @@ def evaluator():
 
 def gradio_app():
     _run('gradio_app')
+
+
+def convert_checkpoint():
+    _run('convert_checkpoint')

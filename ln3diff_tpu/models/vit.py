@@ -42,8 +42,12 @@ class ViTBlock(nn.Module):
         D = x.shape[-1]
         g1 = g2 = 1.0
         if self.layerscale:
-            g1 = self.param('gamma1', nn.initializers.constant(1e-5), (D,))
-            g2 = self.param('gamma2', nn.initializers.constant(1e-5), (D,))
+            # gains stored f32 like all params; cast to the compute dtype
+            # so the residual add keeps the block bf16-stable under scan
+            g1 = self.param('gamma1', nn.initializers.constant(1e-5),
+                            (D,)).astype(self.dtype)
+            g2 = self.param('gamma2', nn.initializers.constant(1e-5),
+                            (D,)).astype(self.dtype)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
         x = x + g1 * Attention(self.num_heads, dtype=self.dtype,
                                name='attn')(h)
