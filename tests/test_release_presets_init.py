@@ -1,0 +1,72 @@
+"""Every release preset's models must INITIALIZE at release size under
+the default bf16 dtype.
+
+The regular test suite exercises small f32 configs; dtype-promotion bugs
+that only bite at release configuration (e.g. f32 layerscale gains
+breaking a bf16 scan carry) slip through.  ``jax.eval_shape`` init costs
+tracing only, so the full release matrix stays cheap.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ln3diff_tpu.config import (RELEASE_PRESETS, build_vae,
+                                denoiser_preset, release_preset,
+                                vae_preset)
+
+VAE_KINDS = sorted({release_preset(k).vae for k in RELEASE_PRESETS})
+DEN_KINDS = sorted({release_preset(k).denoiser for k in RELEASE_PRESETS})
+
+
+def _n_leaves(tree):
+    return len(jax.tree_util.tree_leaves(tree))
+
+
+class TestVAEInit:
+
+    @pytest.mark.parametrize('kind', VAE_KINDS)
+    def test_bf16_init_traces(self, kind):
+        cfg = vae_preset(kind)        # default dtype: bf16
+        model = build_vae(cfg)
+        if kind == 'objaverse':
+            imgs = jnp.zeros((4, 256, 256, 10))
+        else:
+            imgs = jnp.zeros((1, 224, 224, 3))
+        cam = jnp.zeros((1, 25))
+        opts = release_preset(
+            {'objaverse': 'objaverse/t23d-dit',
+             'shapenet': 'shapenet/car-t23d',
+             'ffhq': 'ffhq/t23d'}[kind]).render_opts()
+        key = jax.random.PRNGKey(0)
+        v = jax.eval_shape(lambda k: model.init(k, imgs, cam, opts, 64,
+                                                key), key)
+        assert _n_leaves(v['params']) > 20
+
+
+class TestDenoiserInit:
+
+    @pytest.mark.parametrize('kind', DEN_KINDS)
+    def test_bf16_init_traces(self, kind):
+        cfg = denoiser_preset(kind)   # default dtype: bf16
+        key = jax.random.PRNGKey(0)
+        x = jnp.zeros((1, 32, 32, 12))
+        t = jnp.zeros((1,))
+        if kind == 'shapenet-unet':
+            from ln3diff_tpu.models.unet import UNetModel
+            model = UNetModel(cfg)
+            v = jax.eval_shape(model.init, key, x, t,
+                               jnp.zeros((1, 77, 768)))
+        else:
+            from ln3diff_tpu.models.dit import DiT_TriLatent
+            model = DiT_TriLatent(cfg)
+            if kind == 'i23d-pixart-l2':
+                ctx = {'crossattn': jnp.zeros((1, 257, 1024)),
+                       'vector': jnp.zeros((1, 768)),
+                       'dino': jnp.zeros((1, 257, 384))}
+            elif kind == 'mv23d-dit-l2':
+                ctx = {'crossattn': jnp.zeros((1, 4 * 257, 384))}
+            else:
+                ctx = {'crossattn': jnp.zeros((1, 77, 768))}
+            v = jax.eval_shape(model.init, key, x, t, ctx)
+        assert _n_leaves(v['params']) > 20
