@@ -422,3 +422,28 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
     names = {f.name for f in dataclasses.fields(ExperimentConfig)}
     return ExperimentConfig(**{k: v for k, v in vars(args).items()
                                if k in names})
+
+
+def add_preset_argument(parser: argparse.ArgumentParser, argv=None):
+    """Give a training CLI a ``--preset`` flag resolving RELEASE_PRESETS.
+
+    Pre-parses ``--preset`` and rewrites the parser *defaults* from the
+    named ExperimentConfig, so explicit CLI flags still override preset
+    values (same precedence as the reference's shell scripts over
+    argparse defaults)."""
+    parser.add_argument('--preset', default='',
+                        help="RELEASE_PRESETS name (e.g. "
+                             "'train/objaverse-vae', 'train/objaverse-"
+                             "dit'); explicit flags override it")
+    import sys as _sys
+    argv = _sys.argv[1:] if argv is None else argv
+    pre_parser = argparse.ArgumentParser(add_help=False)
+    pre_parser.add_argument('--preset', default='')
+    pre, _ = pre_parser.parse_known_args(argv)
+    if pre.preset:
+        cfg = release_preset(pre.preset)
+        names = {f.name for f in dataclasses.fields(ExperimentConfig)}
+        parser.set_defaults(**{k: v for k, v in
+                               dataclasses.asdict(cfg).items()
+                               if k in names and not isinstance(v, dict)})
+    return parser

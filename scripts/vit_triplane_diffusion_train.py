@@ -91,10 +91,12 @@ def run_lsgm_joint(cfg, args):
 
 def main():
     from ln3diff_tpu.config import (ExperimentConfig, add_config_to_argparser,
-                                    args_to_config, denoiser_preset)
+                                    add_preset_argument, args_to_config,
+                                    denoiser_preset)
 
     parser = argparse.ArgumentParser()
     add_config_to_argparser(parser, ExperimentConfig())
+    add_preset_argument(parser)
     parser.add_argument('--latent_dir', type=str, default='')
     parser.add_argument('--latent_size', type=int, default=0,
                         help='override denoiser input size (latent h=w)')

@@ -19,10 +19,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 def main():
     from ln3diff_tpu.config import (ExperimentConfig, add_config_to_argparser,
-                                    args_to_config)
+                                    add_preset_argument, args_to_config)
 
     parser = argparse.ArgumentParser()
     add_config_to_argparser(parser, ExperimentConfig())
+    add_preset_argument(parser)
     parser.add_argument('--overfitting', default=True,
                         type=lambda s: str(s).lower() in ('1', 'true'))
     parser.add_argument('--inference', default=False,

@@ -23,6 +23,41 @@ def _n_leaves(tree):
     return len(jax.tree_util.tree_leaves(tree))
 
 
+class TestPresetArgument:
+    """--preset on the training CLIs: preset values become argparse
+    defaults; explicit flags still win."""
+
+    def _parse(self, argv):
+        import argparse
+        from ln3diff_tpu.config import (add_config_to_argparser,
+                                        add_preset_argument,
+                                        args_to_config)
+        from ln3diff_tpu.config import ExperimentConfig
+        p = argparse.ArgumentParser()
+        add_config_to_argparser(p, ExperimentConfig())
+        add_preset_argument(p, argv)
+        return args_to_config(p.parse_args(argv))
+
+    def test_preset_sets_fields(self):
+        cfg = self._parse(['--preset', 'train/objaverse-dit'])
+        assert cfg.objective == 'flow_matching'
+        assert cfg.denoiser == 't23d-dit-l2'
+
+    def test_explicit_flag_overrides_preset(self):
+        cfg = self._parse(['--preset', 'train/objaverse-dit',
+                           '--lr', '3e-5', '--objective', 'edm'])
+        assert cfg.lr == pytest.approx(3e-5)
+        assert cfg.objective == 'edm'
+
+    def test_no_preset_keeps_defaults(self):
+        from ln3diff_tpu.config import ExperimentConfig
+        assert self._parse([]) == ExperimentConfig()
+
+    def test_unknown_preset_raises(self):
+        with pytest.raises(KeyError):
+            self._parse(['--preset', 'nope/nothing'])
+
+
 class TestVAEInit:
 
     @pytest.mark.parametrize('kind', VAE_KINDS)
