@@ -161,3 +161,86 @@ def make_dino_embedder(vit_params, vit_model, proj_params=None,
 
     return Embedder(input_key='img', encode=encode, uncond=uncond,
                     ucg_rate=ucg_rate, name='dino')
+
+
+def make_dino_mv_embedder(vit_params, vit_model, ucg_rate: float = 0.0,
+                          n_cond_frames: int = 4) -> Embedder:
+    """FrozenDinov2ImageEmbedderMV (reference
+    ``sgm/modules/encoders/modules.py:1185``): V condition views →
+    per-view DINOv2 tokens flattened across views.  The reference variant
+    additionally injects a camera-modLN into the (trainable) DINO blocks —
+    an unreleased experiment config (the released mv23d path is the
+    Plücker variant below); this keeps the token contract without the
+    camera modulation."""
+
+    @jax.jit
+    def encode_views(params, x):
+        return vit_model.apply(params, x)
+
+    hw = vit_model.cfg.img_size
+
+    def encode(images):
+        images = np.asarray(images)
+        B, V = images.shape[:2]
+        V = min(V, n_cond_frames)
+        tokens = encode_views(
+            vit_params,
+            jnp.asarray(images[:, :V].reshape((B * V, hw, hw, 3))))
+        L, D = tokens.shape[1:]
+        return {'dino': tokens.reshape((B, V * L, D))}
+
+    def uncond(n):
+        tokens = encode_views(vit_params,
+                              jnp.zeros((n * n_cond_frames, hw, hw, 3)))
+        L, D = tokens.shape[1:]
+        return {'dino': jnp.zeros((n, n_cond_frames * L, D), tokens.dtype)}
+
+    return Embedder(input_key='img', encode=encode, uncond=uncond,
+                    ucg_rate=ucg_rate, name='dino_mv')
+
+
+def make_dino_mv_plucker_embedder(vit_params, vit_model,
+                                  ucg_rate: float = 0.0,
+                                  n_cond_frames: int = 4) -> Embedder:
+    """FrozenDinov2ImageEmbedderMVPlucker (reference
+    ``sgm/modules/encoders/modules.py:871-1014``): V condition views with
+    their 25-dim cameras → per-view Plücker ray maps [cross(o,d), d]
+    concatenated onto RGB (9-channel patch embed) → DINOv2 tokens
+    flattened across views, on the 'dino' key for the mv23d
+    cross-attention path (``variant='mv-pixelart'``).
+
+    ``encode`` consumes ``(images, cameras)`` — images (B, V, H, W, 3) in
+    [-1, 1], cameras (B, V, 25).
+    """
+    from ..data.objaverse import plucker_embedding
+
+    @jax.jit
+    def encode_views(params, x):          # x: (N, H, W, 9)
+        return vit_model.apply(params, x)
+
+    hw = vit_model.cfg.img_size
+
+    def encode(img_c):
+        images, cameras = img_c
+        images = np.asarray(images)
+        cameras = np.asarray(cameras)
+        B, V = images.shape[:2]
+        V = min(V, n_cond_frames)
+        plucker = np.stack([
+            np.stack([plucker_embedding(cameras[b, v], hw)
+                      for v in range(V)]) for b in range(B)])  # B,V,H,W,6
+        x = np.concatenate([images[:, :V], plucker], axis=-1)
+        tokens = encode_views(vit_params,
+                              jnp.asarray(x.reshape((B * V, hw, hw, 9))))
+        L, D = tokens.shape[1:]
+        return {'dino': tokens.reshape((B, V * L, D))}
+
+    def uncond(n):
+        zeros = jnp.zeros((n * n_cond_frames, hw, hw, 9))
+        tokens = encode_views(vit_params, zeros)
+        L, D = tokens.shape[1:]
+        return {'dino': jnp.zeros((n, n_cond_frames * L, D),
+                                  tokens.dtype)}
+
+    return Embedder(input_key='img-c', encode=encode, uncond=uncond,
+                    ucg_rate=ucg_rate, name='dino_mv_plucker')
