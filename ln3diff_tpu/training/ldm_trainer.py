@@ -151,9 +151,11 @@ class LDMTrainer:
 
     def run_loop(self, data: Iterator[dict], num_steps: int,
                  step_offset: int = 0, eval_fn=None,
-                 eval_interval: int = 0):
+                 eval_interval: int = 0, guard=None):
         """eval_fn(state, step): in-training sampling eval hook
-        (reference eval_cldm cadence)."""
+        (reference eval_cldm cadence).  guard: optional
+        ``preemption.PreemptionGuard`` — stop at the next step boundary
+        once a preemption signal lands."""
         assert self._step_fn is not None, 'call build() first'
         state = self._state
         resampler = getattr(self, 'resampler', None)
@@ -181,6 +183,10 @@ class LDMTrainer:
                     and (i + 1) % eval_interval == 0:
                 self._state = state
                 eval_fn(state, step_offset + i + 1)
+            if guard is not None and guard.should_stop():
+                logger.log(f'preemption signal: stopping after step '
+                           f'{step_offset + i + 1}')
+                break
         self._state = state
         return state
 

@@ -300,7 +300,7 @@ class LSGMTrainer:
         return out
 
     def run_loop(self, data, num_steps: Optional[int] = None,
-                 step_offset: int = 0):
+                 step_offset: int = 0, guard=None):
         from ..utils import logger
 
         assert self._step_fn is not None, 'call build() first'
@@ -317,5 +317,9 @@ class LSGMTrainer:
                     {k: float(v) for k, v in metrics.items()})
                 logger.logkv('step', step_offset + i + 1)
                 logger.dumpkvs()
+            if guard is not None and guard.should_stop():
+                logger.log(f'preemption signal: stopping after step '
+                           f'{step_offset + i + 1}')
+                break
         self._state = state
         return state

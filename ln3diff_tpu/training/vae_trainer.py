@@ -242,9 +242,11 @@ class VAETrainer:
 
     def run_loop(self, data: Iterator[dict], num_steps: Optional[int] = None,
                  step_offset: int = 0, eval_fn=None,
-                 eval_interval: int = 0):
+                 eval_interval: int = 0, guard=None):
         """eval_fn(state, step) is the in-training visual-eval hook
-        (reference eval_novelview_loop / log_control_images cadence)."""
+        (reference eval_novelview_loop / log_control_images cadence).
+        guard: optional ``preemption.PreemptionGuard`` — stop at the
+        next step boundary once a preemption signal lands."""
         assert self._step_fn is not None, 'call build() first'
         num_steps = num_steps or self.cfg.total_steps
         state = self._state
@@ -268,5 +270,9 @@ class VAETrainer:
                     and (i + 1) % eval_interval == 0:
                 self._state = state
                 eval_fn(state, step_offset + i + 1)
+            if guard is not None and guard.should_stop():
+                logger.log(f'preemption signal: stopping after step '
+                           f'{step_offset + i + 1}')
+                break
         self._state = state
         return state

@@ -92,13 +92,9 @@ def main():
                             save_latent=args.save_latent)
         return
 
-    step = int(trainer._state.step)
-    while step < cfg.total_steps:
-        n = min(cfg.save_interval, cfg.total_steps - step)
-        trainer.run_loop(data, num_steps=n, step_offset=step)
-        step += n
-        ckpt.save(step, trainer._state)
-        logger.log(f'saved checkpoint @ {step}')
+    from scripts_lib import train_until
+    train_until(trainer, data, cfg.total_steps, cfg.save_interval, ckpt,
+                logger)
     ckpt.close()
 
 
