@@ -19,19 +19,31 @@ Usage (all training entry scripts)::
                 break
 
 Multi-host semantics: the eviction signal lands on individual hosts, so
-``should_stop`` must return the same answer on every process or the
-SPMD program desyncs.  With ``jax.process_count() > 1`` the guard ORs
-the local flag across hosts with a collective, but only every
-``check_interval`` calls — every process reaches the same call count at
-the same step, so the collective cadence (and therefore the stop step)
-is identical everywhere.
+BOTH ``should_stop`` and ``preempted`` must return the same answer on
+every process or the SPMD program desyncs.  With
+``jax.process_count() > 1``:
+
+- ``should_stop`` ORs the local flag across hosts with a collective
+  every ``check_interval`` calls — every process reaches the same call
+  count at the same step, so the collective cadence (and therefore the
+  stop step) is identical everywhere.  A True result is LATCHED.
+- ``preempted`` reports that latched, host-synchronized flag — never
+  the raw local signal.  A host whose local SIGTERM has not yet been
+  confirmed by the collective reports False, exactly like its peers,
+  and the next ``should_stop`` collective picks the signal up.  (The
+  raw local flag is available as ``signal_received`` for logging.)
+
+``check_interval`` trades detection latency for per-step host-sync
+overhead: each collective is a blocking ``process_allgather``, so the
+default of 10 keeps fast steps collective-free 90% of the time while
+still stopping well inside a ~30 s eviction notice.  Single-process
+runs ignore it (no collective needed; every poll sees the local flag).
 """
 
 from __future__ import annotations
 
 import signal
 import threading
-from typing import Optional
 
 import numpy as np
 
@@ -40,17 +52,18 @@ class PreemptionGuard:
     """Context manager that latches SIGTERM (and optionally other
     signals) into a flag polled by the training loops."""
 
-    def __init__(self, signals=(signal.SIGTERM,), check_interval: int = 1):
+    def __init__(self, signals=(signal.SIGTERM,), check_interval: int = 10):
         self.signals = tuple(signals)
         self.check_interval = max(1, int(check_interval))
-        self._preempted = threading.Event()
+        self._signal = threading.Event()
         self._previous: dict = {}
         self._calls = 0
+        self._stopped = False   # host-synchronized latch (multi-process)
 
     # -- signal plumbing ----------------------------------------------------
 
     def _handler(self, signum, frame):
-        self._preempted.set()
+        self._signal.set()
         prev = self._previous.get(signum)
         # Chain to a pre-existing Python-level handler (e.g. a cluster
         # agent's own bookkeeping) but never re-raise the default
@@ -73,20 +86,40 @@ class PreemptionGuard:
     # -- polling ------------------------------------------------------------
 
     @property
+    def signal_received(self) -> bool:
+        """The raw LOCAL signal flag — per-host, for logging only.
+        Never branch multi-host control flow on this (see module
+        docstring); use ``preempted``/``should_stop``."""
+        return self._signal.is_set()
+
+    @property
     def preempted(self) -> bool:
-        return self._preempted.is_set()
+        """Host-synchronized stop flag: identical on every process.
+        Single process: the local signal.  Multi-process: True only
+        after a ``should_stop`` collective has confirmed the stop on
+        all hosts (latched)."""
+        import jax
+        if jax.process_count() == 1:
+            return self._signal.is_set()
+        return self._stopped
 
     def should_stop(self) -> bool:
         """Poll once per train step.  Single process: the local flag.
         Multi-process: a cross-host OR every ``check_interval`` calls
-        (same cadence on every host — see module docstring)."""
+        (same cadence on every host — see module docstring); a True
+        result is latched so every later poll — and ``preempted`` —
+        agrees across hosts without further collectives."""
         self._calls += 1
         import jax
         if jax.process_count() == 1:
             return self.preempted
+        if self._stopped:
+            return True
         if self._calls % self.check_interval:
             return False
         from jax.experimental import multihost_utils
         flag = multihost_utils.process_allgather(
-            np.asarray(self.preempted, np.bool_))
-        return bool(np.any(flag))
+            np.asarray(self._signal.is_set(), np.bool_))
+        if bool(np.any(flag)):
+            self._stopped = True
+        return self._stopped

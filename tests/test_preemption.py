@@ -78,6 +78,70 @@ class TestPreemptionGuard:
             trainer.run_loop(it, num_steps=3, guard=guard)
         assert int(trainer._state.step) == 3
 
+    def test_multihost_stop_is_synchronized(self, monkeypatch):
+        """Simulate N hosts where SIGTERM lands on ONE: every host must
+        see the stop at the SAME step (the collective cadence point) and
+        ``preempted`` must agree across hosts at every poll — the SPMD
+        invariant the module docstring calls hard.  Regression test for
+        the round-2 advisor finding: ``preempted`` used to report the
+        raw local flag, so signaled and unsignaled hosts took different
+        save/exit paths and desynced in the next collective."""
+        import jax
+        from jax.experimental import multihost_utils
+
+        n_hosts = 3
+        guards = [PreemptionGuard(check_interval=4) for _ in range(n_hosts)]
+        monkeypatch.setattr(jax, 'process_count', lambda: n_hosts)
+        monkeypatch.setattr(
+            multihost_utils, 'process_allgather',
+            lambda x: np.asarray([g._signal.is_set() for g in guards]))
+
+        signal_step = 2        # lands on host 1 only, mid-interval
+        stop_step = {}
+        for step in range(1, 10):
+            if step == signal_step:
+                guards[1]._signal.set()
+            polls = [g.should_stop() for g in guards]
+            flags = [g.preempted for g in guards]
+            # hard invariant: identical answers on every host, always —
+            # including while host 1's local signal is still unconfirmed
+            assert len(set(polls)) == 1, (step, polls)
+            assert len(set(flags)) == 1, (step, flags)
+            for h, p in enumerate(polls):
+                if p and h not in stop_step:
+                    stop_step[h] = step
+            if all(polls):
+                break
+        # all hosts stopped, at the same step, on the collective cadence
+        assert set(stop_step) == set(range(n_hosts))
+        assert len(set(stop_step.values())) == 1
+        assert list(stop_step.values())[0] == 4  # first cadence >= signal
+        # the save/exit branch (train_until: `if guard.preempted`) is
+        # identical everywhere, and latched for later polls
+        assert all(g.preempted for g in guards)
+        assert all(g.should_stop() for g in guards)
+        # only host 1 ever saw the raw local signal
+        assert [g.signal_received for g in guards] == [False, True, False]
+
+    def test_multihost_preempted_false_before_collective(self, monkeypatch):
+        """A locally-signaled host must NOT report preempted before the
+        collective confirms it — otherwise it exits run_loop/train_until
+        while its peers re-enter and hang in the next allgather."""
+        import jax
+        from jax.experimental import multihost_utils
+
+        guards = [PreemptionGuard(check_interval=100) for _ in range(2)]
+        monkeypatch.setattr(jax, 'process_count', lambda: 2)
+        monkeypatch.setattr(
+            multihost_utils, 'process_allgather',
+            lambda x: np.asarray([g._signal.is_set() for g in guards]))
+
+        guards[0]._signal.set()
+        assert guards[0].signal_received
+        # not yet confirmed by any collective → both report False
+        assert [g.preempted for g in guards] == [False, False]
+        assert [g.should_stop() for g in guards] == [False, False]
+
     def test_train_until_saves_on_preemption(self, tmp_path):
         """The shared entry-script loop saves a resumable checkpoint at
         the preempted step (scripts_lib.train_until)."""
