@@ -115,10 +115,15 @@ def init_dataset_kwargs(data: str, resolution: Optional[int] = None) -> dict:
 
 
 def load_eg3d_data(path: str, batch_size: int, resolution: int = 128,
-                   seed: int = 0, rank: int = 0, world_size: int = 1):
-    """Infinite shuffled batch iterator over an EG3D image folder."""
+                   seed: int = 0, rank: int = None, world_size: int = 1):
+    """Infinite shuffled batch iterator over an EG3D image folder.
+    ``rank`` defaults to ``jax.process_index()`` so multi-host pods draw
+    decorrelated streams (reference per-rank sampler semantics)."""
+    from ..parallel.mesh import host_shard
+
     ds = ImageFolderDataset(path, resolution=resolution)
-    rng = np.random.default_rng(seed + rank)
+    rank = host_shard()[0] if rank is None else rank
+    rng = np.random.default_rng([seed, rank])
     n = len(ds)
     while True:
         idx = rng.integers(0, n, size=batch_size)

@@ -136,14 +136,24 @@ class DirectoryDataset:
                         np.asarray(arr))
 
 
-def load_data(dataset, batch_size: int, rank: int = 0,
-              num_replicas: int = 1, seed: int = 0,
+def load_data(dataset, batch_size: int, rank: int = None,
+              num_replicas: int = None, seed: int = 0,
               transform=None) -> Iterator[dict]:
     """Infinite shuffled batches over a random-access dataset (the role of
-    reference ``load_data``, ``datasets/shapenet.py``)."""
+    reference ``load_data``, ``datasets/shapenet.py``).
+
+    ``rank``/``num_replicas`` default to this process's
+    ``(jax.process_index(), jax.process_count())`` so multi-host pods
+    get per-host DISJOINT index streams without callers plumbing ranks
+    (reference ``InfiniteSampler(rank, num_replicas)``,
+    ``utils/torch_utils/misc.py:140-160``)."""
+    from ..parallel.mesh import host_shard
     from ..utils.misc import InfiniteSampler
     from .wds import collate
 
+    default_rank, default_replicas = host_shard()
+    rank = default_rank if rank is None else rank
+    num_replicas = default_replicas if num_replicas is None else num_replicas
     sampler = iter(InfiniteSampler(len(dataset), rank, num_replicas,
                                    seed=seed))
     while True:

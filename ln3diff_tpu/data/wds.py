@@ -186,17 +186,35 @@ def shuffled(it: Iterator, bufsize: int, rng: np.random.Generator):
 def load_wds_data(paths: Sequence[str], batch_size: int,
                   transform: Optional[Callable[[dict], dict]] = None,
                   shuffle_buffer: int = 100, seed: int = 0,
-                  infinite: bool = True) -> Iterator[dict]:
+                  infinite: bool = True, rank: int = None,
+                  num_replicas: int = None) -> Iterator[dict]:
     """Shards → decoded samples → transform → shuffle → stacked batches
-    (the reference ``load_wds_data:4283`` pipeline, single-process)."""
-    rng = np.random.default_rng(seed)
+    (the reference ``load_wds_data:4283`` pipeline).
+
+    Multi-host decorrelation (reference: per-rank wds workers resample
+    shards with worker-seeded rngs): ``rank``/``num_replicas`` default
+    to ``(jax.process_index(), jax.process_count())``.  The rank folds
+    into the shard-resampling/shuffle rng, so hosts draw decorrelated
+    infinite streams; in the finite (epoch) mode shards are additionally
+    STRIDED per rank (``paths[rank::num_replicas]``) when there are
+    enough shards, giving disjoint coverage."""
+    from ..parallel.mesh import host_shard
+
+    default_rank, default_replicas = host_shard()
+    rank = default_rank if rank is None else rank
+    num_replicas = default_replicas if num_replicas is None else num_replicas
+    rng = np.random.default_rng([seed, rank])
+
+    epoch_paths = list(paths)
+    if not infinite and num_replicas > 1 and len(epoch_paths) >= num_replicas:
+        epoch_paths = epoch_paths[rank::num_replicas]
 
     def samples():
         if infinite:
             for shard in resampled_shards(paths, rng):
                 yield from iter_shard(shard)
         else:
-            for shard in paths:
+            for shard in epoch_paths:
                 yield from iter_shard(shard)
 
     def transformed():

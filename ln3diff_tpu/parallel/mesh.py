@@ -130,6 +130,28 @@ def tensor_parallel_rules(params, mesh: Mesh,
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def host_shard() -> tuple:
+    """``(rank, num_replicas)`` for per-host data sharding — the default
+    identity every data loader resolves when not given explicit ranks.
+    Mirrors the reference's per-rank ``InfiniteSampler(rank,
+    num_replicas)`` (``utils/torch_utils/misc.py:140-160``): on a
+    multi-host pod each process must draw a DISJOINT (or at least
+    decorrelated) sample stream, otherwise DP silently degrades to
+    repeating one host's batch."""
+    return jax.process_index(), jax.process_count()
+
+
+def host_rng(seed: int) -> np.random.Generator:
+    """Per-host decorrelated numpy Generator for HOST-side sampling
+    (patch origins, timestep importance resampling, wds shard
+    selection): folds ``jax.process_index()`` into the seed so hosts
+    never draw identical crops/streams.  Device-side ``jax.random``
+    keys intentionally stay host-identical — under pjit every host
+    computes its shard of the SAME global random array, so per-sample
+    decorrelation comes from array position, not the key."""
+    return np.random.default_rng([int(seed), jax.process_index()])
+
+
 def initialize_distributed():
     """Multi-host init (reference ``setup_dist``).  Safe to call when
     single-host (no-op)."""

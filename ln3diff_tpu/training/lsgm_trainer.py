@@ -233,7 +233,9 @@ class LSGMTrainer:
             ray_start='auto', ray_end='auto', box_warp=0.9,
             filter_out_of_bbox=True)
         self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
-        self.rng = np.random.default_rng(seed)
+        # per-host decorrelated patch-origin rng (see VAETrainer)
+        from ..parallel.mesh import host_rng
+        self.rng = host_rng(seed)
         self._init_key = jax.random.PRNGKey(seed)
         self._state = None
         self._step_fn = None

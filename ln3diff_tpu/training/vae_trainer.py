@@ -85,7 +85,12 @@ class VAETrainer:
             ray_start='auto', ray_end='auto', box_warp=0.9,
             filter_out_of_bbox=True)
         self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
-        self.rng = np.random.default_rng(seed)
+        # host-side patch-origin rng: per-host decorrelated — on a pod
+        # every process feeds its own batch shard, so identical origins
+        # would crop the same window on every host (reference: per-rank
+        # DataLoader rngs decorrelate implicitly).
+        from ..parallel.mesh import host_rng
+        self.rng = host_rng(seed)
         self.lpips_fn = lpips_fn
         # optional AdversarialHead (reference nv_rec_patch_mvE_disc /
         # E3DGE_with_AdvLoss): D trains on (GT patch, rendered patch).
