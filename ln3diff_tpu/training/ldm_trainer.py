@@ -68,18 +68,21 @@ class LDMTrainer:
                 mean_type=train_cfg.mean_type, var_type=train_cfg.var_type,
                 loss_type=train_cfg.loss_type)
             if train_cfg.schedule_sampler == 'loss-second-moment':
-                # per-sample loss feedback rides the metrics dict, which
-                # the microbatch scan mean-collapses — and batch['t']
-                # would be sliced along the scan axis.  Host-side
-                # importance sampling therefore requires one device
-                # batch per step.
-                assert train_cfg.microbatch_steps == 1, (
-                    'loss-second-moment resampling requires '
-                    'microbatch_steps=1')
+                # works with grad accumulation too: t is drawn for the
+                # FULL (microbatch_steps · micro_bs) batch and shaped
+                # (S, micro_bs) so the scan slices per-microbatch
+                # timesteps; the per-sample loss feedback rides the
+                # metrics dict stacked (train_state exempts 'per_sample*'
+                # keys from the scan mean-collapse).
                 from ..diffusion.resample import LossSecondMomentResampler
                 self.resampler = LossSecondMomentResampler(
                     self.diffusion.num_timesteps)
-                self._resampler_rng = np.random.default_rng(seed)
+                # per-host decorrelated: each host importance-samples t
+                # for its own batch shard (reference resample.py draws
+                # per-rank; the loss history syncs via all_gather there,
+                # here via update_with_losses on host-local losses)
+                from ..parallel.mesh import host_rng
+                self._resampler_rng = host_rng(seed)
             else:
                 self.resampler = None
         elif train_cfg.objective == 'edm':
@@ -88,6 +91,11 @@ class LDMTrainer:
             self.transport = Transport(TransportSpec())
 
     def init_state(self, example_batch):
+        if self.cfg.microbatch_steps > 1:
+            # batches arrive pre-shaped (S, micro_bs, ...) for the grad-
+            # accumulation scan — init on one microbatch slice.
+            example_batch = jax.tree_util.tree_map(
+                lambda v: v[0] if jnp.ndim(v) >= 2 else v, example_batch)
         x = jnp.asarray(example_batch['latent'])
         t = jnp.zeros((x.shape[0],))
         ctx = example_batch['context']
@@ -164,10 +172,16 @@ class LDMTrainer:
                      jax.tree_util.tree_map(jnp.asarray, v)
                      for k, v in next(data).items()}
             if resampler is not None:
-                t_np, w_np = resampler.sample(self._resampler_rng,
-                                              batch['latent'].shape[0])
-                batch['t'] = jnp.asarray(t_np)
-                batch['t_weights'] = jnp.asarray(w_np)
+                # latent is (B, h, w, C) or, under grad accumulation,
+                # (S, micro_bs, h, w, C) — draw t for every sample and
+                # shape it to match so the microbatch scan slices it.
+                lead = batch['latent'].shape[:1] \
+                    if self.cfg.microbatch_steps == 1 \
+                    else batch['latent'].shape[:2]
+                n = int(np.prod(lead))
+                t_np, w_np = resampler.sample(self._resampler_rng, n)
+                batch['t'] = jnp.asarray(t_np).reshape(lead)
+                batch['t_weights'] = jnp.asarray(w_np).reshape(lead)
             state, metrics = self._step_fn(
                 state, batch,
                 jax.random.fold_in(jax.random.PRNGKey(42), step_offset + i))

@@ -155,7 +155,15 @@ def build_train_step(loss_fn: Callable, mesh: Mesh,
             grads = jax.tree_util.tree_map(
                 lambda g: g / microbatch_steps, grads)
             loss = losses.mean()
-            metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+            # 'per_sample*' metrics are FEEDBACK vectors (e.g. the
+            # loss-aware timestep resampler's per-sample losses,
+            # reference resample.py update_with_local_losses) — flatten
+            # the scan axis back into the batch axis instead of
+            # mean-collapsing, so (S, micro_bs, ...) → (S·micro_bs, ...)
+            # matches the host-side flattened t draw.
+            metrics = {k: (v.reshape(-1, *v.shape[2:])
+                           if k.startswith('per_sample') else v.mean())
+                       for k, v in metrics.items()}
         else:
             grads, loss, metrics = grads_of(state.params, state.constants,
                                             batch, rng)
