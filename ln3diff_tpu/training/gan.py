@@ -83,7 +83,7 @@ class AdversarialHead:
         key = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, cfg.disc.img_resolution,
                            cfg.disc.img_resolution, cfg.disc.img_channels))
-        params = self.model.init(key, dummy)['params']
+        params = jax.jit(self.model.init)(key, dummy)['params']
         tx = make_optimizer(cfg.disc_lr, weight_decay=0.0, grad_clip=None,
                             betas=(0.0, 0.99))
         self.state = create_train_state(params, tx)

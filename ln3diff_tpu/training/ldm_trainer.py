@@ -99,7 +99,9 @@ class LDMTrainer:
         x = jnp.asarray(example_batch['latent'])
         t = jnp.zeros((x.shape[0],))
         ctx = example_batch['context']
-        variables = self.model.init(self._init_key, x, t, ctx)
+        # jitted init: one compiled program instead of per-op dispatch
+        # (matters on tunneled/remote chips)
+        variables = jax.jit(self.model.init)(self._init_key, x, t, ctx)
         params = variables.pop('params')
         tx = make_optimizer(self.cfg.lr, self.cfg.weight_decay,
                             grad_clip=self.cfg.grad_clip)
@@ -236,9 +238,9 @@ class ControlNetTrainer(LDMTrainer):
         t = jnp.zeros((x.shape[0],))
         ctx = example_batch['context']
         hint = jnp.asarray(example_batch['hint'])
-        cn_vars = self.controlnet.init(self._init_key, x, hint, t,
-                                       ctx.get('crossattn')
-                                       if isinstance(ctx, dict) else ctx)
+        cn_vars = jax.jit(self.controlnet.init)(
+            self._init_key, x, hint, t,
+            ctx.get('crossattn') if isinstance(ctx, dict) else ctx)
         params = cn_vars.pop('params')
         tx = make_optimizer(self.cfg.lr, self.cfg.weight_decay,
                             grad_clip=self.cfg.grad_clip)

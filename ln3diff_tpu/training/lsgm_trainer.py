@@ -245,18 +245,22 @@ class LSGMTrainer:
 
         imgs = jnp.asarray(example_batch['img_to_encoder'])
         cams = jnp.asarray(example_batch['c'])
-        vae_vars = self.vae.init(
-            self._init_key, imgs, cams,
-            dataclasses.replace(self.render_opts, depth_resolution=8,
-                                depth_resolution_importance=8),
-            8, jax.random.PRNGKey(0))
+        # jitted inits: one compiled program instead of per-op dispatch
+        # (matters on tunneled/remote chips)
+        init_opts = dataclasses.replace(self.render_opts,
+                                        depth_resolution=8,
+                                        depth_resolution_importance=8)
+        vae_vars = jax.jit(
+            lambda k, im, c: self.vae.init(k, im, c, init_opts, 8,
+                                           jax.random.PRNGKey(0)),
+        )(self._init_key, imgs, cams)
         vae_params = vae_vars.pop('params')
         lat = jnp.zeros((1, self.vae_cfg.latent_size,
                          self.vae_cfg.latent_size,
                          self.vae_cfg.latent_channels))
         ctx = example_batch.get('context')
-        ddpm_vars = self.denoiser.init(jax.random.PRNGKey(1), lat,
-                                       jnp.zeros((1,)), ctx)
+        ddpm_vars = jax.jit(self.denoiser.init)(jax.random.PRNGKey(1), lat,
+                                                jnp.zeros((1,)), ctx)
         ddpm_params = ddpm_vars.pop('params')
         tx = make_optimizer(self.cfg.lr, self.cfg.weight_decay,
                             grad_clip=self.cfg.grad_clip)

@@ -54,6 +54,11 @@ class VAETrainConfig:
     # nsr/train_util.py — e.g. --vit_decoder_lr): top-level param
     # subtree name → lr.
     lr_groups: tuple = ()
+    # route the render's point pipeline through the fused Pallas kernel
+    # (fwd + custom-VJP bwd, ops/fused_render.py) — the training-path
+    # analogue of the serving fusion.  TPU only (CPU falls back to the
+    # identical jnp math automatically).
+    use_fused_osg: bool = False
     log_interval: int = 10
     save_interval: int = 10000
     total_steps: int = 100000
@@ -105,11 +110,16 @@ class VAETrainer:
     def init_state(self, example_batch) -> TrainState:
         imgs = jnp.asarray(example_batch['img_to_encoder'])
         cams = jnp.asarray(example_batch['c'])
-        variables = self.model.init(
-            self._init_key, imgs, cams,
-            dataclasses.replace(self.render_opts, depth_resolution=8,
-                                depth_resolution_importance=8),
-            8, jax.random.PRNGKey(0))
+        # jit the init: eager flax init dispatches thousands of tiny ops
+        # one-by-one — minutes over a tunneled/remote chip vs ~seconds
+        # as one compiled program.
+        init_opts = dataclasses.replace(self.render_opts,
+                                        depth_resolution=8,
+                                        depth_resolution_importance=8)
+        variables = jax.jit(
+            lambda k, im, c: self.model.init(k, im, c, init_opts, 8,
+                                             jax.random.PRNGKey(0)),
+        )(self._init_key, imgs, cams)
         params = variables.pop('params')
         tx = make_optimizer(self.cfg.lr, self.cfg.weight_decay,
                             grad_clip=self.cfg.grad_clip,
@@ -160,7 +170,9 @@ class VAETrainer:
                                              patch, cfg.render_resolution)
             pred = model.apply(variables, planes_v, None, opts, patch,
                                k_render, ray_origins=ray_o,
-                               ray_directions=ray_d, method=model.render)
+                               ray_directions=ray_d,
+                               use_fused_osg=cfg.use_fused_osg,
+                               method=model.render)
             target = {
                 'img': _crop(batch[f'{prefix}img'], h0, w0, patch),
                 'depth': _crop(batch[f'{prefix}depth'][..., None], h0, w0,
@@ -214,6 +226,7 @@ class VAETrainer:
         fake = model.apply(variables, planes_v, None, self.render_opts,
                            patch, None, ray_origins=ray_o,
                            ray_directions=ray_d,
+                           use_fused_osg=cfg.use_fused_osg,
                            method=model.render)['image_raw']
         real = _crop(batch['img'], batch['patch_h'], batch['patch_w'],
                      patch)

@@ -61,6 +61,39 @@ class TestVAETrainer:
         assert np.isfinite(losses).all()
         assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
 
+    def test_fused_osg_train_step_matches_stock(self):
+        """use_fused_osg=True must leave the training step's numbers
+        unchanged (identical math; kernel grad parity is covered in
+        test_fused_render.py — this pins the trainer plumbing)."""
+        mesh = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
+        opts = RenderOptions(depth_resolution=8,
+                             depth_resolution_importance=8,
+                             ray_start='auto', ray_end='auto', box_warp=1.0,
+                             filter_out_of_bbox=True)
+
+        def one_step(use_fused):
+            trainer = VAETrainer(
+                tiny_vae_cfg(),
+                VAETrainConfig(lr=3e-3, patch_resolution=8,
+                               render_resolution=16, log_interval=1000,
+                               use_fused_osg=use_fused),
+                LossConfig(depth_lambda=0.0, lpips_lambda=0.0),
+                render_opts=opts, mesh=mesh, seed=0)
+            data = load_memory_data(1, num_views=2, resolution=32,
+                                    render_resolution=16)
+            trainer.build(next(data))
+            batch = trainer.prepare_batch(next(data))
+            _, metrics = trainer._step_fn(trainer._state, batch,
+                                          jax.random.PRNGKey(7))
+            return {k: float(v) for k, v in metrics.items()
+                    if np.ndim(v) == 0}
+
+        stock = one_step(False)
+        fused = one_step(True)
+        for k in stock:
+            np.testing.assert_allclose(fused[k], stock[k], rtol=1e-4,
+                                       err_msg=k)
+
     def test_novel_view_supervision_improves_heldout_psnr(self):
         """True nv supervision (VERDICT #5): train on held-out nv_* views
         only; held-out-view reconstruction must improve, and the nv batch
