@@ -417,6 +417,27 @@ class DiTConfig:
     dtype: Any = jnp.bfloat16
 
 
+class _TrunkBody(nn.Module):
+    """One scanned DiT block.  The conditioning rides as a ``nn.broadcast``
+    scan argument (not a closure) so the body is a static class whose
+    stacked param layout the pipeline-parallel runner
+    (``parallel/pipeline.py:dit_pipeline_apply``) can re-drive standalone."""
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, ctx):
+        cfg = self.cfg
+        c, crossattn, dino = ctx
+        x = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
+                     variant=cfg.variant,
+                     context_dim=cfg.context_dim,
+                     exact_gelu=cfg.exact_gelu,
+                     fused_attention=cfg.fused_attention,
+                     dtype=cfg.dtype, name='block')(
+                         x, c, context=crossattn, dino_tokens=dino)
+        return x, None
+
+
 class DiT_TriLatent(nn.Module):
     """Triplane DiT denoiser (reference ``dit/dit_trilatent.py:22-263``,
     ``dit/dit_i23d.py:24-...``).
@@ -425,11 +446,41 @@ class DiT_TriLatent(nn.Module):
     with (c, plane) channel layout, plane fastest.
     ``context``: dict with optional keys ``crossattn`` (B, L, context_dim),
     ``vector`` (B, D_vec), ``dino`` (B, L2, hidden) already projected.
+
+    Structured as ``embed`` → ``run_blocks`` → ``head`` methods so the
+    pipeline-parallel runner can keep embed/head under GSPMD-auto and
+    drive only the block trunk through the manual ``pipe``-axis schedule;
+    ``__call__`` composes them (numerics and param tree unchanged).
     """
     cfg: DiTConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        # Weight-stacked scan over homogeneous blocks: compiles ONE block
+        # body instead of `depth` copies — critical for XLA compile time
+        # on deep DiTs (the reference's Python ModuleList has no such
+        # need).
+        body = nn.remat(_TrunkBody, prevent_cse=False,
+                        policy=_remat_policy(cfg.remat_policy)) \
+            if cfg.remat else _TrunkBody
+        self.blocks = nn.scan(body, variable_axes={'params': 0},
+                              split_rngs={'params': True},
+                              length=cfg.depth,
+                              in_axes=(nn.broadcast,))(cfg)
+        out_ch = cfg.in_channels * (2 if cfg.learn_sigma else 1)
+        self.final_layer = FinalLayer(cfg.hidden_size,
+                                      cfg.patch_size**2 * out_ch,
+                                      t2i=cfg.t2i_final, dtype=cfg.dtype)
+
     def __call__(self, x, timesteps, context):
+        B, H, W, _ = x.shape
+        tokens, t, c, crossattn, dino = self.embed(x, timesteps, context)
+        tokens = self.run_blocks(tokens, c, crossattn, dino)
+        return self.head(tokens, t, (B, H, W))
+
+    @nn.compact
+    def embed(self, x, timesteps, context):
+        """Patchify + conditioning → ``(tokens, t, c, crossattn, dino)``."""
         cfg = self.cfg
         B, H, W, C3 = x.shape
         n = cfg.plane_n
@@ -493,37 +544,24 @@ class DiT_TriLatent(nn.Module):
         else:
             c = t
 
-        # Weight-stacked scan over homogeneous blocks: compiles ONE block
-        # body instead of `depth` copies — critical for XLA compile time on
-        # deep DiTs (the reference's Python ModuleList has no such need).
-        class _Body(nn.Module):
-            @nn.compact
-            def __call__(self, x, _):
-                x = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
-                             variant=cfg.variant,
-                             context_dim=cfg.context_dim,
-                             exact_gelu=cfg.exact_gelu,
-                             fused_attention=cfg.fused_attention,
-                             dtype=dtype, name='block')(
-                                 x, c, context=crossattn, dino_tokens=dino)
-                return x, None
+        return x, t, c, crossattn, dino
 
-        body = nn.remat(_Body, prevent_cse=False,
-                        policy=_remat_policy(cfg.remat_policy)) \
-            if cfg.remat else _Body
-        Blocks = nn.scan(body, variable_axes={'params': 0},
-                         split_rngs={'params': True}, length=cfg.depth)
-        x, _ = Blocks(name='blocks')(x, None)
+    def run_blocks(self, x, c, crossattn=None, dino=None):
+        """The scan-stacked block trunk — all the FLOPs."""
+        x, _ = self.blocks(x, (c, crossattn, dino))
+        return x
 
+    def head(self, x, t, shape):
+        """Final layer + un-roll-out + unpatchify back to
+        ``(B, H, W, (c, plane))``.  With learn_sigma the c axis is
+        (mean C, var C) — c slow / plane fast keeps the flat channel axis
+        splittable in halves for ``DiffusionSpec(var_type='learned_range')``.
+        """
+        cfg = self.cfg
+        B, H, W = shape
+        n = cfg.plane_n
         out_ch = cfg.in_channels * (2 if cfg.learn_sigma else 1)
-        out_dim = cfg.patch_size**2 * out_ch
-        x = FinalLayer(cfg.hidden_size, out_dim, t2i=cfg.t2i_final,
-                       dtype=dtype, name='final_layer')(x, t)
-
-        # un-roll-out + unpatchify back to (B, H, W, (c, plane)).  With
-        # learn_sigma the c axis is (mean C, var C) — c slow / plane fast
-        # keeps the flat channel axis splittable in halves for
-        # ``DiffusionSpec(var_type='learned_range')``.
+        x = self.final_layer(x, t)
         p = cfg.patch_size
         h = w = H // p
         x = x.reshape(B, n, h, w, p, p, out_ch)

@@ -13,6 +13,10 @@ Axes:
   * ``tensor``— optional tensor-parallel axis for DiT-XL scale (reference
                 only has a commented-out fairscale import,
                 ``dit/dit_trilatent.py:13``).
+  * ``pipe``  — optional pipeline-parallel axis: the DiT trunk's
+                scan-stacked block weights shard over it and microbatch
+                activations hop stage→stage (``parallel/pipeline.py``);
+                the reference has no PP at all.
 """
 
 from __future__ import annotations
@@ -30,17 +34,23 @@ class MeshConfig:
     data: int = -1       # -1 → all remaining devices
     fsdp: int = 1
     tensor: int = 1
+    pipe: int = 1
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(),
               devices: Optional[list] = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    data = cfg.data if cfg.data > 0 else n // (cfg.fsdp * cfg.tensor)
-    assert data * cfg.fsdp * cfg.tensor == n, (
-        f'mesh {data}x{cfg.fsdp}x{cfg.tensor} != {n} devices')
-    dev_array = np.asarray(devices).reshape(data, cfg.fsdp, cfg.tensor)
-    return Mesh(dev_array, ('data', 'fsdp', 'tensor'))
+    model = cfg.fsdp * cfg.tensor * cfg.pipe
+    data = cfg.data if cfg.data > 0 else n // model
+    assert data * model == n, (
+        f'mesh {data}x{cfg.fsdp}x{cfg.tensor}x{cfg.pipe} != {n} devices')
+    # pipe outermost after data: stage hops (ppermute) ride the slowest-
+    # varying ICI direction while tp/fsdp collectives stay innermost
+    # (highest-bandwidth neighbours), the standard pp-outside layout.
+    dev_array = np.asarray(devices).reshape(data, cfg.pipe, cfg.fsdp,
+                                            cfg.tensor)
+    return Mesh(dev_array, ('data', 'pipe', 'fsdp', 'tensor'))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
@@ -128,6 +138,36 @@ def tensor_parallel_rules(params, mesh: Mesh,
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def pipeline_parallel_rules(params, mesh: Mesh, trunk_key: str = 'blocks',
+                            base=None):
+    """Pipeline-parallel parameter layout: scan-stacked trunk leaves
+    (leading axis = layer count) shard that axis over ``pipe`` so each
+    stage holds only its ``depth/pp`` layer slice in HBM — the memory
+    win PP exists for.  Non-trunk params (embed/head) stay on ``base``
+    (or replicated).  Compose with :func:`param_sharding_rules` /
+    :func:`tensor_parallel_rules` by passing their result as ``base``:
+    trunk leaves keep the base spec on their per-layer dims and force
+    'pipe' onto dim 0 (the stacked layer axis; any base sharding there
+    is overridden — pipe owns that axis by construction).
+
+    Reference has no PP (DDP only, ``guided_diffusion/dist_util.py:57``).
+    """
+    pp = mesh.shape.get('pipe', 1)
+    base = base if base is not None else jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), params)
+
+    def rule(path, p, b):
+        in_trunk = any(str(getattr(k, 'key', '')) == trunk_key
+                       for k in path)
+        if pp == 1 or not in_trunk or p.ndim < 1 or p.shape[0] % pp:
+            return b
+        spec = list(b.spec) + [None] * (p.ndim - len(b.spec))
+        spec[0] = 'pipe'
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(rule, params, base)
 
 
 def host_shard() -> tuple:

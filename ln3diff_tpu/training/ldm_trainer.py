@@ -44,6 +44,11 @@ class LDMTrainConfig:
     # analog: importance-sample t ∝ sqrt(E[loss²]), resample.py)
     schedule_sampler: str = 'uniform'
     microbatch_steps: int = 1
+    # pipeline parallelism (mesh 'pipe' axis > 1, DiT denoisers only):
+    # microbatches flowing through the GPipe schedule per forward
+    # (parallel/pipeline.py).  Bubble = (pp-1)/(pp_microbatches+pp-1);
+    # per-stage batch shard must divide evenly.
+    pp_microbatches: int = 4
     log_interval: int = 10
     total_steps: int = 1000000
 
@@ -58,6 +63,15 @@ class LDMTrainer:
         self.cfg = train_cfg
         self.mesh = mesh if mesh is not None else make_mesh(MeshConfig())
         self.conditioner = conditioner
+        # pipeline parallelism: route the DiT trunk through the GPipe
+        # schedule whenever the mesh carries a real 'pipe' axis.  The
+        # embed/head and every other objective component stay GSPMD-auto.
+        self._use_pp = self.mesh.shape.get('pipe', 1) > 1
+        if self._use_pp:
+            from ..models.dit import DiT_TriLatent
+            assert isinstance(model, DiT_TriLatent), (
+                'pipeline parallelism drives the scan-stacked DiT trunk; '
+                f'got {type(model).__name__}')
         self._init_key = jax.random.PRNGKey(seed)
         self._state = None
         self._step_fn = None
@@ -103,6 +117,13 @@ class LDMTrainer:
         # (matters on tunneled/remote chips)
         variables = jax.jit(self.model.init)(self._init_key, x, t, ctx)
         params = variables.pop('params')
+        if self._use_pp:
+            # lay the stacked trunk out pipe-sharded from step 0 so each
+            # stage holds (and the optimizer/EMA update) only its own
+            # depth/pp layer slice — no per-step re-gather of the stack.
+            from ..parallel.mesh import pipeline_parallel_rules
+            params = jax.device_put(
+                params, pipeline_parallel_rules(params, self.mesh))
         tx = make_optimizer(self.cfg.lr, self.cfg.weight_decay,
                             grad_clip=self.cfg.grad_clip)
         self._state = create_train_state(
@@ -116,8 +137,14 @@ class LDMTrainer:
         ctx = batch['context']
 
         def model_fn(xt, t, **kw):
-            return self.model.apply({'params': params, **(constants or {})},
-                                    xt, t, ctx)
+            variables = {'params': params, **(constants or {})}
+            if self._use_pp:
+                from ..parallel.pipeline import dit_pipeline_apply
+                return dit_pipeline_apply(
+                    self.model, variables, xt, t, ctx, mesh=self.mesh,
+                    n_micro=cfg.pp_microbatches,
+                    remat=getattr(self.model.cfg, 'remat', False))
+            return self.model.apply(variables, xt, t, ctx)
 
         if cfg.objective == 'flow_matching':
             out = self.transport.training_losses(model_fn, x0, rng)
@@ -145,8 +172,7 @@ class LDMTrainer:
             return loss, metrics
         # edm
         def network(xt, c_noise, cond):
-            return self.model.apply({'params': params, **(constants or {})},
-                                    xt, c_noise.astype(jnp.float32), ctx)
+            return model_fn(xt, c_noise.astype(jnp.float32))
         loss = edm_training_loss(self.denoiser, network, x0, rng, ctx).mean()
         return loss, {'edm_mse': loss}
 

@@ -96,10 +96,24 @@ def main():
     parser.add_argument('--latent_dir', type=str, default='')
     parser.add_argument('--latent_size', type=int, default=0,
                         help='override denoiser input size (latent h=w)')
+    parser.add_argument('--remat', default='dots',
+                        choices=['none', 'full', 'dots'],
+                        help='rematerialize scanned DiT blocks in the '
+                             'backward pass (required for DiT-L/2 on a '
+                             '16 GB chip: without it the saved f32 '
+                             'attention scores alone need ~10 GB)')
     parser.add_argument('--denoiser_scale', default='',
                         help="override preset, e.g. 'DiT-B/2'")
     parser.add_argument('--unet_channels', type=int, default=320,
                         help='U-Net width for --objective vpsde_joint')
+    parser.add_argument('--pp', type=int, default=1,
+                        help='pipeline-parallel stages: shard the DiT '
+                             'trunk over a `pipe` mesh axis (GPipe '
+                             'schedule, parallel/pipeline.py). '
+                             'Remaining devices become the data axis.')
+    parser.add_argument('--pp_microbatches', type=int, default=4,
+                        help='microbatches per pipelined forward; bubble '
+                             'fraction (pp-1)/(n+pp-1) — use >= 4*pp')
     args = parser.parse_args()
     cfg = args_to_config(args)
 
@@ -137,6 +151,9 @@ def main():
         latent_hw = 32
         context_dim = den_cfg.context_dim
     else:
+        if args.remat != 'none':
+            den_cfg = _dc.replace(den_cfg, remat=True,
+                                  remat_policy=args.remat)
         model = DiT_TriLatent(den_cfg)
         latent_hw = den_cfg.input_size
         context_dim = den_cfg.context_dim
@@ -145,12 +162,17 @@ def main():
         objective=cfg.objective, lr=cfg.lr,
         triplane_scaling_divider=cfg.triplane_scaling_divider,
         microbatch_steps=cfg.microbatch_steps,
+        pp_microbatches=args.pp_microbatches,
         log_interval=cfg.log_interval, total_steps=cfg.total_steps)
 
     data = latent_stream(args.latent_dir, cfg.batch_size,
                          (latent_hw, latent_hw, 12), context_dim, cfg.seed)
 
-    trainer = LDMTrainer(model, train_cfg, seed=cfg.seed)
+    mesh = None
+    if args.pp > 1:
+        from ln3diff_tpu.parallel.mesh import MeshConfig, make_mesh
+        mesh = make_mesh(MeshConfig(pipe=args.pp))
+    trainer = LDMTrainer(model, train_cfg, mesh=mesh, seed=cfg.seed)
     trainer.build(next(data))
 
     ckpt = CheckpointManager(os.path.join(cfg.logdir, 'checkpoints'))

@@ -45,6 +45,14 @@ def main():
     parser.add_argument('--latent_size', type=int, default=0)
     parser.add_argument('--denoiser_scale', default='',
                         help="override preset, e.g. 'DiT-B/2'")
+    parser.add_argument('--remat', default='dots',
+                        choices=['none', 'full', 'dots'],
+                        help='rematerialize scanned DiT blocks in the '
+                             'backward pass (required for DiT-L/2 on a '
+                             '16 GB chip)')
+    parser.add_argument('--pp', type=int, default=1,
+                        help='pipeline-parallel stages over the DiT trunk')
+    parser.add_argument('--pp_microbatches', type=int, default=4)
     args = parser.parse_args()
     cfg = args_to_config(args)
 
@@ -73,19 +81,26 @@ def main():
                                in_channels=den_cfg.in_channels)
     if args.latent_size:
         den_cfg = _dc.replace(den_cfg, input_size=args.latent_size)
+    if args.remat != 'none':
+        den_cfg = _dc.replace(den_cfg, remat=True, remat_policy=args.remat)
     model = DiT_TriLatent(den_cfg)
 
     train_cfg = LDMTrainConfig(
         objective='flow_matching', lr=cfg.lr,
         triplane_scaling_divider=cfg.triplane_scaling_divider,
         microbatch_steps=cfg.microbatch_steps,
+        pp_microbatches=args.pp_microbatches,
         log_interval=cfg.log_interval, total_steps=cfg.total_steps)
 
     data = latent_stream(args.latent_dir, cfg.batch_size,
                          (den_cfg.input_size, den_cfg.input_size, 12),
                          den_cfg.context_dim, cfg.seed)
 
-    trainer = LDMTrainer(model, train_cfg, seed=cfg.seed)
+    mesh = None
+    if args.pp > 1:
+        from ln3diff_tpu.parallel.mesh import MeshConfig, make_mesh
+        mesh = make_mesh(MeshConfig(pipe=args.pp))
+    trainer = LDMTrainer(model, train_cfg, mesh=mesh, seed=cfg.seed)
     # Swap in the transport configured from the CLI (path/prediction/t-dist).
     trainer.transport = Transport(TransportSpec(
         path=args.path_type, prediction=args.prediction,
