@@ -18,3 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 assert len(jax.devices()) == 8, jax.devices()
+
+# Persistent compilation cache: the suite's wall time is dominated by
+# XLA CPU compiles (every test jits over the 8-device mesh); caching
+# them makes repeat runs several times faster on small hosts.
+from ln3diff_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.join(
+    os.path.dirname(__file__), '..', '.pytest_cache', 'xla_cache'))

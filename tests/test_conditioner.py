@@ -58,3 +58,44 @@ class TestLPIPS:
         d_small = float(fn(img, img + 0.05))
         d_big = float(fn(img, img + 0.5))
         assert 0 < d_small < d_big
+
+
+class TestConcatTimestepEmbedder:
+    """ConcatTimestepEmbedderND parity vs the torch reference
+    (``sgm/modules/encoders/modules.py:1516`` + the openaimodel
+    ``timestep_embedding``)."""
+
+    def test_matches_reference_formula(self):
+        import math
+
+        from ln3diff_tpu.conditioning.conditioner import (
+            make_concat_timestep_embedder)
+
+        outdim = 16
+        emb = make_concat_timestep_embedder(outdim=outdim,
+                                            input_key='size')
+        x = np.array([[1024., 1024.], [512., 768.]])
+        got = np.asarray(emb.encode(x)['vector'])
+        assert got.shape == (2, 2 * outdim)
+
+        # torch-free replica of the reference formula: per scalar,
+        # [cos(t*f), sin(t*f)] with f = exp(-ln(1e4)*arange(half)/half)
+        half = outdim // 2
+        freqs = np.exp(-math.log(10000.) * np.arange(half) / half)
+        flat = x.reshape(-1)
+        ref = np.concatenate([np.cos(flat[:, None] * freqs),
+                              np.sin(flat[:, None] * freqs)], axis=-1)
+        ref = ref.reshape(2, 2 * outdim)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_sgm_yaml_parses_sdxl_style_embedders(self):
+        from ln3diff_tpu.sgm_config import EmbedderSpec
+
+        spec = EmbedderSpec(maker='concat_timestep',
+                            input_key='crop_coords_top_left',
+                            options={'outdim': 8})
+        e = spec.build(jax.random.PRNGKey(0))
+        out = e.encode(np.zeros((3, 2)))['vector']
+        assert out.shape == (3, 16)
+        un = e.uncond(3)['vector']
+        np.testing.assert_allclose(np.asarray(out), np.asarray(un))

@@ -9,6 +9,8 @@ import pytest
 sys.path.insert(0, '/root/repo/scripts')
 import convert_checkpoint as cc  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 class TestFlat:
 

@@ -14,6 +14,8 @@ from ln3diff_tpu.conditioning.convert_ln3diff import (convert_osg_decoder,
 from ln3diff_tpu.models.osg_decoder import OSGDecoder
 from ln3diff_tpu.models.sd_vae import AutoencoderConfig, Decoder, Encoder
 
+pytestmark = pytest.mark.slow
+
 
 def _t(*shape):
     return torch.randn(*shape)

@@ -14,6 +14,8 @@ from ln3diff_tpu.diffusion.gaussian import (GaussianDiffusion, DiffusionSpec,
                                             space_timesteps)
 from ln3diff_tpu.diffusion.transport import PathPlan, Transport, TransportSpec
 
+pytestmark = pytest.mark.slow
+
 
 class TestSchedules:
 

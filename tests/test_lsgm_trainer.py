@@ -6,6 +6,7 @@ joint model over the 8-device CPU mesh, loss finite and both param trees
 updated.
 """
 
+import pytest
 import os
 import sys
 
@@ -22,6 +23,8 @@ from ln3diff_tpu.render.renderer import RenderOptions
 from ln3diff_tpu.training.lsgm_trainer import (LSGMConfig, LSGMTrainConfig,
                                                LSGMTrainer)
 from tests.test_models import small_vae_cfg
+
+pytestmark = pytest.mark.slow
 
 
 def tiny_unet():

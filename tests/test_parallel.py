@@ -14,6 +14,8 @@ from ln3diff_tpu.training.train_state import (build_train_step,
                                               create_train_state,
                                               make_optimizer)
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_dit():
     cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,

@@ -1,6 +1,7 @@
 """End-to-end pipeline tests on CPU: stage-1→stage-2 latent bridge and
 the full text→3D sampling pipeline with tiny models."""
 
+import pytest
 import dataclasses
 import os
 
@@ -13,6 +14,8 @@ from ln3diff_tpu.models.dit import DiT_TriLatent, DiTConfig, DiT2Config
 from ln3diff_tpu.models.vae import TriplaneVAE, TriplaneVAEConfig
 from ln3diff_tpu.pipeline import SamplerSpec, TextTo3DPipeline
 from ln3diff_tpu.render.renderer import RenderOptions
+
+pytestmark = pytest.mark.slow
 
 
 def tiny_vae():

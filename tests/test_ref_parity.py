@@ -16,8 +16,9 @@ import pytest
 sys.path.insert(0, os.path.dirname(__file__))
 import ref_compat
 
-pytestmark = pytest.mark.skipif(not ref_compat.reference_available(),
-                                reason='reference repo not present')
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not ref_compat.reference_available(),
+                                reason='reference repo not present')]
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,9 @@ import pytest
 
 import ref_compat
 
-pytestmark = pytest.mark.skipif(not ref_compat.reference_available(),
-                                reason='/root/reference not present')
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not ref_compat.reference_available(),
+                                reason='/root/reference not present')]
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -15,6 +15,8 @@ from ln3diff_tpu.config import (RELEASE_PRESETS, build_vae,
                                 denoiser_preset, release_preset,
                                 vae_preset)
 
+pytestmark = pytest.mark.slow
+
 VAE_KINDS = sorted({release_preset(k).vae for k in RELEASE_PRESETS})
 DEN_KINDS = sorted({release_preset(k).denoiser for k in RELEASE_PRESETS})
 

@@ -23,6 +23,8 @@ from ln3diff_tpu.render.renderer import (RenderOptions, render_rays,
                                          sample_from_planes, sample_pdf,
                                          sample_stratified, smooth_weights)
 
+pytestmark = pytest.mark.slow
+
 
 def rnd(*shape, seed=0):
     return np.random.default_rng(seed).standard_normal(shape).astype(

@@ -19,6 +19,8 @@ from ln3diff_tpu.models.stylegan3 import (GeneratorSG3,
                                           SynthesisNetworkSG3,
                                           design_lowpass_filter)
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(w_dim=32, img_resolution=32, img_channels=3,
             channel_base=1024, channel_max=32, num_layers=6,
             num_critical=2)

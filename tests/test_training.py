@@ -18,6 +18,8 @@ from ln3diff_tpu.training.ldm_trainer import LDMTrainConfig, LDMTrainer
 from ln3diff_tpu.training.losses import LossConfig
 from ln3diff_tpu.training.vae_trainer import VAETrainConfig, VAETrainer
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_vae_cfg():
     return TriplaneVAEConfig(
