@@ -57,7 +57,10 @@ class VAETrainConfig:
     # route the render's point pipeline through the fused Pallas kernel
     # (fwd + custom-VJP bwd, ops/fused_render.py) — the training-path
     # analogue of the serving fusion.  TPU only (CPU falls back to the
-    # identical jnp math automatically).
+    # identical jnp math automatically).  Default off: at patch-32
+    # training shapes the kernel grid is too small to pipeline and it
+    # measures slower than the jnp path (161.3 vs 154.4 ms/step on v5e,
+    # docs/TPU_PERF_NOTES.md); opt in for full-frame fine-tunes.
     use_fused_osg: bool = False
     log_interval: int = 10
     save_interval: int = 10000
