@@ -244,3 +244,36 @@ def make_dino_mv_plucker_embedder(vit_params, vit_model,
 
     return Embedder(input_key='img-c', encode=encode, uncond=uncond,
                     ucg_rate=ucg_rate, name='dino_mv_plucker')
+
+
+def make_concat_timestep_embedder(outdim: int = 256,
+                                  input_key: str = 'original_size_as_tuple',
+                                  ucg_rate: float = 0.0,
+                                  n_dims: int = 2) -> Embedder:
+    """ConcatTimestepEmbedderND (reference
+    ``sgm/modules/encoders/modules.py:1516``): embeds each scalar of a
+    size/crop tuple with a sinusoidal table and concatenates → 'vector'.
+    Parameter-free.  ``n_dims`` fixes the uncond width (the reference
+    derives it from the batch; SDXL-style size/crop keys are 2-wide).
+    """
+    from ..models.layers import timestep_embedding
+
+    @jax.jit
+    def encode_vals(x):
+        if x.ndim == 1:
+            x = x[:, None]
+        b, d = x.shape
+        emb = timestep_embedding(x.reshape(-1), outdim)
+        return emb.reshape(b, d * outdim)
+
+    def encode(x):
+        return {'vector': encode_vals(jnp.asarray(x))}
+
+    def uncond(n):
+        # the reference encodes the SAME size tuple on the uncond branch
+        # (force_uc_zero_embeddings only covers 'txt'); without batch
+        # access here, the zero tuple's embedding is the fixed stand-in.
+        return {'vector': encode_vals(jnp.zeros((n, n_dims)))}
+
+    return Embedder(input_key=input_key, encode=encode, uncond=uncond,
+                    ucg_rate=ucg_rate, name='concat_timestep')

@@ -164,6 +164,10 @@ class EmbedderSpec:
             return C.make_dino_mv_plucker_embedder(
                 params, model, ucg_rate=self.ucg_rate,
                 n_cond_frames=self.options.get('n_cond_frames', 4))
+        if self.maker == 'concat_timestep':
+            return C.make_concat_timestep_embedder(
+                outdim=self.options.get('outdim', 256),
+                input_key=self.input_key, ucg_rate=self.ucg_rate)
         raise ValueError(f'unknown embedder maker {self.maker!r}')
 
 
@@ -289,6 +293,7 @@ _EMBEDDER_MAKERS = {
     'FrozenDinov2ImageEmbedder': 'dino',
     'FrozenDinov2ImageEmbedderMV': 'dino_mv',
     'FrozenDinov2ImageEmbedderMVPlucker': 'dino_mv_plucker',
+    'ConcatTimestepEmbedderND': 'concat_timestep',
 }
 
 
