@@ -162,18 +162,26 @@ class TextTo3DPipeline:
                      render_resolution: Optional[int] = None,
                      samples_per_ray: int = 128,
                      hbm_budget_bytes: float = 4e9,
-                     frame_slice: Optional[tuple] = None):
+                     frame_slice: Optional[tuple] = None,
+                     cameras: Optional[np.ndarray] = None):
         """Render the evaluation orbit → (B, F, H, W, 3) in [-1, 1].
 
         ``frame_slice=(a, b)``: render only orbit frames [a, b) (camera
         ring unchanged) — lets callers interleave other device work
         between dispatch groups (see ``__call__``'s mesh overlap).
 
+        ``cameras``: explicit packed ``(F, 25)`` labels (e.g.
+        ``render.camera.load_pose_asset('assets/objv_eval_pose.pt')`` —
+        the released eval protocol); overrides the analytic orbit and
+        ``num_frames``.
+
         Frames fold into the batch in chunks — enough to amortize the
         gather-table build, small enough that the transient
         gathered-corner tensor (frames·3·rays·samples·4C·4B) stays within
         ``hbm_budget_bytes``.
         """
+        if cameras is not None:
+            num_frames = len(cameras)
         if frames_per_call is None:
             C = planes.shape[-1]
             res = render_resolution or 128
@@ -182,11 +190,11 @@ class TextTo3DPipeline:
                                * itemsize)
             frames_per_call = max(1, int(hbm_budget_bytes
                                          // bytes_per_frame))
-            frames_per_call = min(frames_per_call, num_frames)
+        frames_per_call = min(frames_per_call, num_frames)
         while num_frames % frames_per_call:
             frames_per_call -= 1
-        cams = jnp.asarray(orbit_cameras(num_frames, radius, fov,
-                                         pitch_deg))
+        cams = jnp.asarray(cameras) if cameras is not None else \
+            jnp.asarray(orbit_cameras(num_frames, radius, fov, pitch_deg))
         if frame_slice is not None:
             a, b = frame_slice
             cams = cams[a:b]
@@ -269,7 +277,8 @@ class TextTo3DPipeline:
                  num_frames: int = 24, mesh_path: Optional[str] = None,
                  mesh_grid: int = 192,
                  render_resolution: Optional[int] = None,
-                 video_uint8: bool = False):
+                 video_uint8: bool = False,
+                 cameras: Optional[np.ndarray] = None):
         """Full run.  ``video_uint8``: return the orbit as host uint8
         frames (serving format; reference writes uint8 mp4 —
         ``train_util_diffusion.py:208-249``) — quarters the device→host
@@ -286,9 +295,12 @@ class TextTo3DPipeline:
         out = {'latents': latents, 'planes': planes}
         if self.render_dtype is not None:
             planes = planes.astype(self.render_dtype)
+        if cameras is not None:
+            num_frames = len(cameras)
         if not mesh_path:
             video = self.render_orbit(planes, num_frames,
-                                      render_resolution=render_resolution)
+                                      render_resolution=render_resolution,
+                                      cameras=cameras)
             if video_uint8:
                 video = _frames_to_uint8(video)
             out['video'] = np.asarray(video) if video_uint8 else video
@@ -302,7 +314,7 @@ class TextTo3DPipeline:
         head = min(max(num_frames // 4, 1), num_frames)
         v1 = self.render_orbit(planes, num_frames,
                                render_resolution=render_resolution,
-                               frame_slice=(0, head))
+                               frame_slice=(0, head), cameras=cameras)
         sigma_np = np.asarray(sigma_grid)       # overlaps head frames
         verts, faces = march_grid(sigma_np, mesh_grid)
         verts_w = rotate_x(verts, -90.0)
@@ -311,7 +323,8 @@ class TextTo3DPipeline:
         if head < num_frames:
             v2 = self.render_orbit(planes, num_frames,
                                    render_resolution=render_resolution,
-                                   frame_slice=(head, num_frames))
+                                   frame_slice=(head, num_frames),
+                                   cameras=cameras)
         colors = np.zeros_like(verts) if rgb_dev is None \
             else np.clip(np.asarray(rgb_dev), 0.0, 1.0)
         if mesh_path.endswith('.ply'):

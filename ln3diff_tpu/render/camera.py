@@ -109,6 +109,26 @@ def generate_input_camera(radius: float, poses_deg, fov: float = 30.0):
     return cam2world, np.array([fx, fx, 0.5, 0.5], np.float32)
 
 
+def load_pose_asset(path: str) -> np.ndarray:
+    """Load a reference release pose asset (``assets/objv_eval_pose.pt``,
+    ``render_cameras.pt``, …): a torch-saved ``(N, 25)`` tensor of packed
+    [c2w (16), normalized intrinsics (9)] labels — the exact cameras the
+    released eval videos use (``scripts/vit_triplane_diffusion_sample_objaverse.py:180``).
+
+    The objv asset decomposes as: 24-view orbit at pitch 13.73°/r 1.772
+    (reproduced bit-exactly by :func:`generate_input_camera`, see
+    ``tests/test_render_core.py``), a frame-0 duplicate, ±90° pole views,
+    and a 13-view ring at pitch −4°/r 1.695.  Torch is only needed to
+    deserialize; the result is plain numpy.
+    """
+    import torch
+
+    cam = torch.load(path, map_location='cpu', weights_only=False)
+    cam = np.asarray(cam.float().numpy(), np.float32)
+    assert cam.ndim == 2 and cam.shape[1] == 25, cam.shape
+    return cam
+
+
 def orbit_cameras(num: int = 24, radius: float = 1.8, fov: float = 30.0,
                   pitch_deg: float = 20.0) -> np.ndarray:
     """Evaluation orbit as packed 25-dim labels (the role of the

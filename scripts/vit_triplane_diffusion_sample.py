@@ -40,6 +40,11 @@ def main():
     parser.add_argument('--unconditional_guidance_scale', type=float,
                         default=6.5)
     parser.add_argument('--num_frames', type=int, default=24)
+    parser.add_argument('--eval_pose_asset', default='',
+                        help='path to a packed (N, 25) pose asset '
+                             '(reference assets/objv_eval_pose.pt — the '
+                             'released eval camera protocol); overrides '
+                             'the analytic orbit and --num_frames')
     parser.add_argument('--render_resolution', type=int, default=128)
     parser.add_argument('--export_mesh', default=True,
                         type=lambda s: str(s).lower() in ('1', 'true'))
@@ -212,6 +217,11 @@ def main():
             lambda vars, ids: text_model.apply(vars,
                                                ids)['last_hidden_state'])
     encode_text = lambda ids: encode_text_raw(text_vars, ids)
+    eval_cameras = None
+    if args.eval_pose_asset:
+        from ln3diff_tpu.render.camera import load_pose_asset
+        eval_cameras = load_pose_asset(args.eval_pose_asset)
+
     uncond_ids = jnp.asarray(tokenizer(['']))
 
     for p_i, prompt in enumerate(args.prompts):
@@ -224,7 +234,8 @@ def main():
         out = pipeline(k, cond, uncond, batch=1,
                        num_frames=args.num_frames, mesh_path=mesh_path,
                        mesh_grid=args.mesh_grid,
-                       render_resolution=args.render_resolution)
+                       render_resolution=args.render_resolution,
+                       cameras=eval_cameras)
         frames = np.asarray(out['video'][0])
         stem = os.path.join(args.outdir, f'{p_i:02d}')
         if args.video_format == 'avi':

@@ -5,6 +5,8 @@ marcher — the same role the reference's ``impl='ref'`` paths play for its
 CUDA ops (reference ``utils/torch_utils/ops/bias_act.py:170``).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -420,3 +422,56 @@ class TestSampleFromPlanes:
         out = out.permute(0, 3, 2, 1).reshape(B, 3, M, C)
         np.testing.assert_allclose(np.asarray(ours), out.numpy(), rtol=1e-5,
                                    atol=1e-5)
+
+
+class TestEvalPoseAsset:
+    """The released eval camera protocol (``assets/objv_eval_pose.pt``,
+    consumed by ``scripts/vit_triplane_diffusion_sample_objaverse.py:180``)
+    loads, and its main 24-view orbit ring is reproduced bit-exactly by
+    our analytic ``generate_input_camera`` convention."""
+
+    ASSET = '/root/reference/assets/objv_eval_pose.pt'
+
+    def _load(self):
+        import pytest
+        if not os.path.exists(self.ASSET):
+            pytest.skip('reference pose asset unavailable')
+        from ln3diff_tpu.render.camera import load_pose_asset
+        return load_pose_asset(self.ASSET)
+
+    def test_loads_packed_25d(self):
+        cam = self._load()
+        assert cam.shape == (40, 25) and cam.dtype == np.float32
+        intr = cam[:, 16:].reshape(-1, 3, 3)
+        # whole-matrix /256 normalization: [2,2] = 1/256, cx = cy = 0.5
+        np.testing.assert_allclose(intr[:, 2, 2], 1 / 256, rtol=1e-6)
+        np.testing.assert_allclose(intr[:, 0, 2], 0.5, atol=1e-6)
+
+    def test_orbit_ring_matches_analytic_convention(self):
+        import math
+
+        from ln3diff_tpu.render.camera import generate_input_camera
+        cam = self._load()
+        c2w = cam[:24, :16].reshape(-1, 4, 4)
+        pos = c2w[:, :3, 3]
+        r = float(np.linalg.norm(pos[0]))
+        pitch = np.degrees(np.arcsin(pos[:, 2] / r))
+        yaw = np.degrees(np.arctan2(pos[:, 1], pos[:, 0]))
+        fx = cam[0, 16]
+        fov = 2 * math.degrees(math.atan(0.5 / fx))
+        ours, fxfycxcy = generate_input_camera(
+            r, np.stack([pitch, yaw], -1), fov=fov)
+        np.testing.assert_allclose(ours, c2w, atol=2e-6)
+        np.testing.assert_allclose(fxfycxcy[0], fx, rtol=1e-6)
+
+    def test_pipeline_accepts_explicit_cameras(self):
+        from ln3diff_tpu.render.ray_sampler import unpack_25d_camera
+        cam = self._load()[:2]
+        c2w, intr = unpack_25d_camera(jnp.asarray(cam))
+        assert c2w.shape == (2, 4, 4) and intr.shape == (2, 3, 3)
+        # rays from the real protocol cameras are finite unit dirs
+        from ln3diff_tpu.render.ray_sampler import sample_full_rays
+        ro, rd = sample_full_rays(c2w, intr, 16)
+        assert np.isfinite(np.asarray(ro)).all()
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(rd), axis=-1), 1.0, atol=1e-5)
