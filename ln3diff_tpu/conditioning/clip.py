@@ -138,8 +138,15 @@ class CLIPVisionModel(nn.Module):
     cfg: CLIPVisionConfig = CLIPVisionConfig()
 
     @nn.compact
-    def __call__(self, pixel_values, output_tokens: bool = True):
-        """pixel_values: (B, H, W, 3) CLIP-normalized."""
+    def __call__(self, pixel_values, output_tokens: bool = True,
+                 output_hidden_states: bool = False):
+        """pixel_values: (B, H, W, 3) CLIP-normalized.
+
+        ``output_hidden_states``: also return the post-layer token
+        sequences (tuple of ``(B, 1+L, D)``, one per transformer layer) —
+        the multilevel taps the vision-aided discriminator
+        (``training/vision_aided.py``) reads.
+        """
         cfg = self.cfg
         B = pixel_values.shape[0]
         p = cfg.patch_size
@@ -157,12 +164,18 @@ class CLIPVisionModel(nn.Module):
                          (n_pos, cfg.hidden_size))
         x = x + pos[None].astype(x.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name='pre_layrnorm')(x)
+        hidden = []
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg.num_heads, cfg.intermediate_size, cfg.dtype,
                           name=f'layers_{i}')(x, causal=False)
+            if output_hidden_states:
+                hidden.append(x)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype,
                               name='post_layernorm')(x[:, 0])
-        return {'tokens': x, 'pooler_output': pooled}
+        out = {'tokens': x, 'pooler_output': pooled}
+        if output_hidden_states:
+            out['hidden_states'] = tuple(hidden)
+        return out
 
 
 # -- byte-level BPE tokenizer ----------------------------------------------

@@ -104,16 +104,31 @@ class TriPlaneGenerator(nn.Module):
 
     def __call__(self, z, camera25, opts: RenderOptions,
                  resolution: int = 64, c=None,
-                 truncation_psi: float = 1.0):
-        planes = self.generate_planes(z, c, truncation_psi)
+                 truncation_psi: float = 1.0, return_ws: bool = False):
+        ws = self.mapping(z, c, truncation_psi=truncation_psi)
+        img = self.synthesis(ws)                    # (B, H, W, 3C)
+        B, H, W, _ = img.shape
+        planes = jnp.transpose(
+            img.reshape(B, H, W, 3, self.cfg.plane_channels),
+            (0, 3, 1, 2, 4))
         cam2world, intrinsics = unpack_25d_camera(camera25)
         ray_o, ray_d = sample_full_rays(cam2world, intrinsics, resolution)
         out = render_rays(None, planes,
                           lambda f, d: self.decoder(f, d),
                           ray_o, ray_d, opts)
-        B = planes.shape[0]
         rgb = out.feature_samples[..., :3].reshape(B, resolution,
                                                    resolution, 3)
-        return {'image_raw': rgb, 'planes': planes,
-                'image_depth': out.depth_samples.reshape(
-                    B, resolution, resolution, 1)}
+        ret = {'image_raw': rgb, 'planes': planes,
+               'image_depth': out.depth_samples.reshape(
+                   B, resolution, resolution, 1)}
+        if return_ws:
+            ret['ws'] = ws
+        return ret
+
+    def query_points(self, planes, coords, box_warp: float):
+        """σ/rgb at world coords (B, M, 3) — the teacher side of the
+        EG3D warm-up shape supervision (``train_util_with_eg3d.py``
+        queries densities at shared coords on both models)."""
+        from ..render.renderer import sample_from_planes
+        feats = sample_from_planes(planes, coords, box_warp)
+        return self.decoder(feats, None)

@@ -31,6 +31,13 @@ def main():
     parser.add_argument('--disc_weight', type=float, default=0.1,
                         help='generator adversarial loss weight '
                              '(reference --lambda_adv)')
+    parser.add_argument('--disc_type', default='stylegan',
+                        choices=['stylegan', 'vision_aided'],
+                        help='vision_aided = frozen-CLIP multilevel D '
+                             '(reference vision_aided_loss cvD, '
+                             'nsr/train_util_cvD.py:98; backbone is '
+                             'randomly initialized offline — see '
+                             'training/vision_aided.py)')
     args = parser.parse_args()
     cfg = args_to_config(args)
 
@@ -68,12 +75,20 @@ def main():
         log_interval=cfg.log_interval, save_interval=cfg.save_interval,
         total_steps=cfg.total_steps)
 
-    adv = AdversarialHead(
-        GANConfig(disc=DiscriminatorConfig(
-                      img_resolution=cfg.patch_rendering_resolution),
-                  disc_lr=args.disc_lr, r1_gamma=args.r1_gamma,
-                  adv_lambda=args.disc_weight),
-        seed=cfg.seed)
+    if args.disc_type == 'vision_aided':
+        from ln3diff_tpu.training.vision_aided import (VisionAidedConfig,
+                                                       VisionAidedHead)
+        adv = VisionAidedHead(
+            VisionAidedConfig(disc_lr=args.disc_lr,
+                              adv_lambda=args.disc_weight),
+            seed=cfg.seed)
+    else:
+        adv = AdversarialHead(
+            GANConfig(disc=DiscriminatorConfig(
+                          img_resolution=cfg.patch_rendering_resolution),
+                      disc_lr=args.disc_lr, r1_gamma=args.r1_gamma,
+                      adv_lambda=args.disc_weight),
+            seed=cfg.seed)
 
     data = load_memory_data(cfg.batch_size, args.num_views,
                             args.encoder_resolution, args.render_resolution,
