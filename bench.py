@@ -9,13 +9,22 @@ DDIM scan over DiT-L/2 (CFG-doubled) → DiT2-L/2 VAE decode to
 marching-tetrahedra mesh export.
 
 Driver contract: prints JSON lines {"metric", "value", "unit",
-"vs_baseline", ...}; the LAST line is the final (best) result.  A result
-line is streamed the moment each measurement lands — cold run first,
-then every warm improvement — so an external timeout at ANY point after
-the first compile still leaves a parseable number on the record
-(round 2 regression: rc=124 with empty stdout).  The final line also
-carries the other two BASELINE.json metrics: ``dit_steps_per_sec`` and
-``render_mrays_per_sec``.
+"vs_baseline", ...}; the LAST line is the final (best) result.
+
+Cold-cache survival (the BENCH_r02/r03 failure mode — the driver's
+environment starts with no compile cache and the full-pipeline cold
+compile exceeded its whole budget): two defenses, in order:
+
+ 1. The repo ships a committed persistent XLA compilation cache
+    (``.xla_cache``, see ``utils/cache.py``) — executables keyed by HLO
+    hash + compiler version, so the driver's run compiles ~nothing.
+ 2. The cold path is STAGED: each pipeline phase (text encode → DiT
+    scan → VAE decode → mesh → render) is compiled and measured
+    separately, and a measured-sum partial result is streamed after
+    every phase.  An external timeout at ANY point after the first
+    phase (~1 min in) still leaves a parseable, clearly-marked number
+    on the record; the partials are replaced by true end-to-end warm
+    walls once everything is compiled.
 
 Budget control: BENCH_DEADLINE_S (parent wall budget, default 480 s)
 and BENCH_CHILD_BUDGET_S (per-child self-deadline, set by the parent).
@@ -34,6 +43,8 @@ NUM_FRAMES = 24
 RENDER_RES = 192
 MESH_GRID = 192
 DDIM_STEPS = 250
+
+PHASE_NAMES = ('text_encode', 'dit_sample', 'vae_decode', 'mesh', 'render')
 
 
 def _emit(obj):
@@ -61,6 +72,35 @@ def _result(wall, cold=False, dit_sps=None, mrays=None):
     return out
 
 
+def _partial_result(phase_walls, dit_sps=None, mrays=None):
+    """Measured-sum partial: phases compiled+measured so far.  Honest
+    labelling: the value is a LOWER BOUND of the full wall until every
+    phase is in; vs_baseline stays 0 so a partial can never read as a
+    beat-the-baseline claim."""
+    done = [p for p in PHASE_NAMES if p in phase_walls]
+    missing = [p for p in PHASE_NAMES if p not in phase_walls]
+    total = sum(phase_walls.values())
+    unit = (f's PARTIAL staged sum at {RENDER_RES}^2/{MESH_GRID}^3 spec — '
+            f'measured phases: {"+".join(done)}'
+            + (f'; NOT yet measured: {"+".join(missing)} (lower bound of '
+               'the full wall)' if missing
+               else ' (all phases measured serially; true end-to-end warm '
+                    'wall pending)'))
+    out = {
+        'metric': 'text_to_mesh_wall_clock',
+        'value': round(total, 2),
+        'unit': unit,
+        'vs_baseline': 0.0 if missing else round(BASELINE_S / total, 3),
+        'partial': bool(missing),
+        'phases': {k: round(v, 3) for k, v in phase_walls.items()},
+    }
+    if dit_sps is not None:
+        out['dit_steps_per_sec'] = round(dit_sps, 2)
+    if mrays is not None:
+        out['render_mrays_per_sec'] = round(mrays, 2)
+    return out
+
+
 def _build_pipeline():
     import dataclasses
     import jax
@@ -69,7 +109,7 @@ def _build_pipeline():
     from ln3diff_tpu.config import RENDER_PRESETS, denoiser_preset, \
         vae_preset
     from ln3diff_tpu.conditioning.clip import (CLIPTextModel,
-                                               SimpleCLIPTokenizer)
+                                               default_tokenizer)
     from ln3diff_tpu.diffusion.gaussian import make_diffusion
     from ln3diff_tpu.models.dit import DiT_TriLatent
     from ln3diff_tpu.models.vae import TriplaneVAE
@@ -84,7 +124,8 @@ def _build_pipeline():
     vae_cfg = vae_preset('objaverse')   # DiT2-L/2 decoder (release arch)
     vae = TriplaneVAE(vae_cfg)
     text_model = CLIPTextModel()
-    tokenizer = SimpleCLIPTokenizer()
+    # real BPE when a merges file is present (assets/ or $LN3DIFF_CLIP_BPE)
+    tokenizer = default_tokenizer()
 
     x0 = jnp.zeros((2, 32, 32, 12))
     ctx0 = {'crossattn': jnp.zeros((2, 77, 768))}
@@ -137,40 +178,88 @@ def _build_pipeline():
     return pipeline, encode
 
 
-def _aux_metrics(pipeline, encode):
-    """One timed denoise scan + one timed orbit render (already compiled
-    by the cold full run) → (dit_steps_per_sec, render_mrays_per_sec).
-    BASELINE.json metric definitions: 250 CFG-doubled DiT-L/2 denoise
-    steps / scan wall; 24·192² rays / orbit wall."""
+def _staged_phases(pipeline, encode, trace, emit_partial):
+    """Compile + measure each pipeline phase separately, streaming a
+    measured-sum partial after every one.  Returns (phase_walls,
+    dit_sps, mrays, planes) — the compiled programs are exactly the ones
+    the full run uses, so this doubles as the cold-compile pass."""
     import jax
-    import jax.numpy as jnp
-    cond, uncond = encode('a wooden chair')
+
+    walls = {}
+    dit_sps = mrays = None
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        return out, time.perf_counter() - t0
+
+    # 1. text encode (tiny compile; warm measure after one compile call)
+    trace('phase text_encode: compile')
+    encode('a wooden chair')
+    (cond, uncond), walls['text_encode'] = timed(
+        lambda: encode('a wooden chair'))
+    trace(f'text_encode {walls["text_encode"]:.3f}s')
+    emit_partial(walls, dit_sps, mrays)
+
+    # 2. DiT 250-step DDIM scan (the dominant phase; ~15 s compile as a
+    # weight-stacked nn.scan)
+    trace('phase dit_sample: compile')
     key = jax.random.PRNGKey(7)
     lat = pipeline.sample_latents(key, 1, cond, uncond)
     jax.block_until_ready(lat)
-    t0 = time.perf_counter()
-    lat = pipeline.sample_latents(key, 1, cond, uncond)
-    jax.block_until_ready(lat)
-    t_den = time.perf_counter() - t0
+    lat, walls['dit_sample'] = timed(
+        lambda: pipeline.sample_latents(key, 1, cond, uncond))
+    dit_sps = DDIM_STEPS / walls['dit_sample']
+    trace(f'dit_sample {walls["dit_sample"]:.3f}s ({dit_sps:.1f} steps/s)')
+    emit_partial(walls, dit_sps, mrays)
+
+    # 3. VAE decode latent -> planes
+    trace('phase vae_decode: compile')
     planes = pipeline._decode_jit(pipeline.vae_params, lat)
+    jax.block_until_ready(planes)
+    planes, walls['vae_decode'] = timed(
+        lambda: pipeline._decode_jit(pipeline.vae_params, lat))
     if pipeline.render_dtype is not None:
         planes = planes.astype(pipeline.render_dtype)
-    v = pipeline.render_orbit(planes, NUM_FRAMES,
-                              render_resolution=RENDER_RES)
-    jax.block_until_ready(v)
-    t0 = time.perf_counter()
-    v = pipeline.render_orbit(planes, NUM_FRAMES,
-                              render_resolution=RENDER_RES)
-    jax.block_until_ready(v)
-    t_render = time.perf_counter() - t0
-    dit_sps = DDIM_STEPS / t_den
-    mrays = NUM_FRAMES * RENDER_RES * RENDER_RES / t_render / 1e6
-    return dit_sps, mrays
+    trace(f'vae_decode {walls["vae_decode"]:.3f}s')
+    emit_partial(walls, dit_sps, mrays)
+
+    # 4. mesh: σ-grid query + host march + vertex colors, serial (an
+    # upper bound — the full run overlaps all host stages with render)
+    from ln3diff_tpu.render.mesh import dispatch_vertex_colors, march_grid
+    trace('phase mesh: compile')
+    jax.block_until_ready(pipeline.dispatch_mesh_sigma(planes, MESH_GRID))
+
+    def mesh_serial():
+        sg = np.asarray(pipeline.dispatch_mesh_sigma(planes, MESH_GRID))
+        verts, faces = march_grid(sg, MESH_GRID)
+        rgb = dispatch_vertex_colors(pipeline._mesh_decoder(planes), verts)
+        return rgb if rgb is not None else verts
+
+    _, walls['mesh'] = timed(mesh_serial)
+    trace(f'mesh {walls["mesh"]:.3f}s (serial upper bound)')
+    emit_partial(walls, dit_sps, mrays)
+
+    # 5. render: single 192² frame (the ~400 s cold-compile program),
+    # then the remaining 23 measured as one group
+    trace('phase render: compile (the long pole cold — ~400 s uncached)')
+    f0 = pipeline.render_orbit(planes, NUM_FRAMES,
+                               render_resolution=RENDER_RES,
+                               frame_slice=(0, 1))
+    jax.block_until_ready(f0)
+    _, t_orbit = timed(lambda: pipeline.render_orbit(
+        planes, NUM_FRAMES, render_resolution=RENDER_RES))
+    walls['render'] = t_orbit
+    mrays = NUM_FRAMES * RENDER_RES * RENDER_RES / t_orbit / 1e6
+    trace(f'render orbit {t_orbit:.3f}s ({mrays:.1f} Mrays/s)')
+    emit_partial(walls, dit_sps, mrays)
+    return walls, dit_sps, mrays
 
 
 def main():
     from ln3diff_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
 
     t_start = time.monotonic()
     budget = float(os.environ.get('BENCH_CHILD_BUDGET_S', '420'))
@@ -182,9 +271,16 @@ def main():
         print(f'[bench +{time.monotonic() - t_start:6.1f}s] {msg}',
               file=sys.stderr, flush=True)
 
+    trace(f'compile cache: {cache_dir}')
     trace('building models')
     pipeline, encode = _build_pipeline()
-    trace('built; cold run (compiles)')
+    trace('built; staged cold pass (compiles each phase, streams partials)')
+
+    def emit_partial(walls, dit_sps, mrays):
+        _emit(_partial_result(walls, dit_sps, mrays))
+
+    walls_by_phase, dit_sps, mrays = _staged_phases(
+        pipeline, encode, trace, emit_partial)
 
     def run(prompt: str, seed: int) -> float:
         import jax
@@ -200,31 +296,35 @@ def main():
             np.asarray(out['video'])  # drain device
         return time.perf_counter() - t0
 
-    # cold run compiles everything; its wall is a valid (pessimistic)
-    # upper bound — stream it so a timeout right after still records one.
-    cold = run('a wooden chair', 0)
-    trace(f'cold run done: {cold:.2f}s')
-    _emit(_result(cold, cold=True))
-
     walls = []
-    dit_sps = mrays = None
     # min over warm runs: the tunneled single-chip setup shows multi-
     # second host/transfer jitter between identical runs; the min is the
     # honest steady-state wall a dedicated serving chip sees.
-    for i, (prompt, seed) in enumerate([('a sports car', 1),
-                                        ('an airplane', 2),
-                                        ('a ceramic vase', 3)]):
-        need = (walls[-1] if walls else cold) * 1.5 + 5
+    staged_total = sum(walls_by_phase.values())
+    for prompt, seed in [('a wooden chair', 0), ('a sports car', 1),
+                         ('an airplane', 2), ('a ceramic vase', 3)]:
+        need = (walls[-1] if walls else staged_total) * 1.5 + 5
         if remaining() < need:
             break
         walls.append(run(prompt, seed))
+        trace(f'full warm run: {walls[-1]:.2f}s')
         _emit(_result(min(walls), dit_sps=dit_sps, mrays=mrays))
-        if i == 0 and remaining() > min(walls) * 3 + 10:
-            dit_sps, mrays = _aux_metrics(pipeline, encode)
-            _emit(_result(min(walls), dit_sps=dit_sps, mrays=mrays))
 
-    best = min(walls) if walls else cold
-    _emit(_result(best, cold=not walls, dit_sps=dit_sps, mrays=mrays))
+    if walls:
+        _emit(_result(min(walls), dit_sps=dit_sps, mrays=mrays))
+    else:
+        _emit(_partial_result(walls_by_phase, dit_sps, mrays))
+
+
+def _rank(cand):
+    """Ordering for best-result selection: any FULL end-to-end wall beats
+    any partial staged sum; fuller partials beat emptier ones; then the
+    partial with the LARGER measured sum (closer to the truth) wins."""
+    if cand.get('value') is None:
+        return (2, 0, 0)
+    if cand.get('partial'):
+        return (1, -len(cand.get('phases', {})), -cand['value'])
+    return (0, 0, cand['value'])
 
 
 def _parent():
@@ -233,12 +333,11 @@ def _parent():
     tunnel settles into a per-process fast or slow mode (measured
     same-code min-of-3 spread: 4.54 vs 5.48 s between whole processes
     while device compute stays ±2%); a fresh process redraws the
-    connection.  Children share the on-disk compilation cache, so the
-    second pays no compile cost.  Serialized because only one process
-    may hold the chip.  A wall-clock deadline (BENCH_DEADLINE_S,
-    default 480 s) bounds the whole bench: the second child is skipped
-    when the budget is nearly spent, and children self-terminate inside
-    their share of it."""
+    connection.  Children share the on-disk compilation cache (committed
+    with the repo), so even the first child usually pays no compile
+    cost, and the second never does.  Serialized because only one
+    process may hold the chip.  A wall-clock deadline (BENCH_DEADLINE_S,
+    default 480 s) bounds the whole bench."""
     import subprocess
     import threading
 
@@ -253,9 +352,7 @@ def _parent():
 
     def consider(cand):
         with lock:
-            if (best[0] is None
-                    or (cand.get('value') or 1e9)
-                    < (best[0].get('value') or 1e9)):
+            if best[0] is None or _rank(cand) < _rank(best[0]):
                 best[0] = cand
                 _emit(cand)
 
@@ -285,16 +382,18 @@ def _parent():
 
     # child 1 gets the bulk of the budget (minus parent slack)
     run_child(remaining() - 20)
-    # child 2 only if a result exists AND enough budget remains for a
-    # cache-warm rerun (compile served from the persistent cache)
-    if best[0] is not None and remaining() > 120:
+    # child 2 only if a FULL result exists AND enough budget remains for
+    # a cache-warm rerun; with only partials on record, the remaining
+    # budget is better spent letting nothing preempt a future retry.
+    if (best[0] is not None and not best[0].get('partial')
+            and remaining() > 120):
         run_child(remaining() - 15)
 
     if best[0] is not None:
         _emit(best[0])       # final LAST line = overall best
     else:
-        # degraded: no child produced any line (crash before cold-run
-        # completion) — still print a parseable record of the failure.
+        # degraded: no child produced any line (crash before the FIRST
+        # staged phase) — still print a parseable record of the failure.
         _emit({'metric': 'text_to_mesh_wall_clock', 'value': None,
                'unit': 'FAILED: no bench child produced a result within '
                        f'{deadline:.0f}s',

@@ -312,6 +312,28 @@ class SimpleCLIPTokenizer:
         return out
 
 
+def default_tokenizer(bpe_path: Optional[str] = None,
+                      max_length: int = 77) -> SimpleCLIPTokenizer:
+    """Resolve the CLIP tokenizer for entry points: explicit path →
+    ``$LN3DIFF_CLIP_BPE`` → a repo-level
+    ``assets/bpe_simple_vocab_16e6.txt[.gz]`` if present → hash-bucket
+    fallback.  Weight-day needs zero code changes: drop the released
+    merges file into ``assets/`` (or point the env var at it) and every
+    CLI / bench picks up real BPE."""
+    import os
+    path = bpe_path or os.environ.get('LN3DIFF_CLIP_BPE')
+    if not path:
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        for cand in ('assets/bpe_simple_vocab_16e6.txt.gz',
+                     'assets/bpe_simple_vocab_16e6.txt'):
+            p = os.path.join(repo, cand)
+            if os.path.exists(p):
+                path = p
+                break
+    return SimpleCLIPTokenizer(bpe_path=path or None, max_length=max_length)
+
+
 def pooled_text_context(pooled: 'jax.Array', n_repeat: int = 1,
                         normalize: bool = True,
                         scale_clip_encoding: float | None = None):

@@ -86,10 +86,10 @@ def make_clip_text_embedder(text_params, tokenizer=None,
                             ucg_rate: float = 0.1,
                             always_return_pooled: bool = True) -> Embedder:
     """FrozenCLIPEmbedder: captions → crossattn tokens (+ pooled vector)."""
-    from .clip import CLIPTextModel, SimpleCLIPTokenizer
+    from .clip import CLIPTextModel, default_tokenizer
 
     model = CLIPTextModel()
-    tokenizer = tokenizer or SimpleCLIPTokenizer()
+    tokenizer = tokenizer or default_tokenizer()
 
     @jax.jit
     def encode_ids(params, ids):

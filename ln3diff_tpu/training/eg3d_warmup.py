@@ -240,7 +240,7 @@ class EG3DWarmupTrainer:
                 logger.dumpkvs()
             if ckpt is not None and save_interval \
                     and (i + 1) % save_interval == 0:
-                ckpt.save(self.state, step=i + 1)
+                ckpt.save(i + 1, self.state)
             if guard is not None and guard.should_stop():
                 logger.log(f'preemption: stopping after step {i + 1}')
                 break

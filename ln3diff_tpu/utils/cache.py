@@ -1,9 +1,22 @@
 """Persistent XLA compilation cache.
 
 First-compile latency on the tunneled single-chip setup is tens of
-seconds per gather-heavy program; the persistent cache makes driver
-re-runs (bench, entry checks) near-instant.  Call early, before the first
-jit execution.
+seconds per program and ~400 s for the gather-heavy renderer; the
+persistent cache makes re-runs near-instant.  Call early, before the
+first jit execution.
+
+The default cache lives IN THE REPO (``<repo>/.xla_cache``) and its
+contents are committed: the driver's bench run starts from a fresh
+``$HOME`` every round (BENCH_r02/r03 both burned their whole budget on
+cold compiles), but it always runs ``python bench.py`` from this
+checkout — a repo-local cache is the only storage that provably
+survives into that environment.  Compiled executables are keyed by HLO
+hash + compiler version, so a stale cache entry is a miss, never a
+wrong program.
+
+Override with ``LN3DIFF_XLA_CACHE=/path`` (or ``=0`` to disable); falls
+back to ``~/.cache/ln3diff_tpu/xla_cache`` when the repo dir is not
+writable (e.g. read-only installs).
 """
 
 from __future__ import annotations
@@ -11,12 +24,28 @@ from __future__ import annotations
 import os
 
 
+def _default_dir() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(here), '.xla_cache')
+
+
 def enable_compilation_cache(path: str | None = None):
     import jax
 
-    path = path or os.path.join(os.path.expanduser('~'), '.cache',
-                                'ln3diff_tpu', 'xla_cache')
-    os.makedirs(path, exist_ok=True)
+    env = os.environ.get('LN3DIFF_XLA_CACHE')
+    if env == '0':
+        return None
+    path = path or env or _default_dir()
+    try:
+        os.makedirs(path, exist_ok=True)
+        probe = os.path.join(path, '.writable')
+        with open(probe, 'w'):
+            pass
+        os.remove(probe)
+    except OSError:
+        path = os.path.join(os.path.expanduser('~'), '.cache',
+                            'ln3diff_tpu', 'xla_cache')
+        os.makedirs(path, exist_ok=True)
     try:
         jax.config.update('jax_compilation_cache_dir', path)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

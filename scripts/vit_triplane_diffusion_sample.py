@@ -52,6 +52,11 @@ def main():
     parser.add_argument('--denoiser_ckpt', default='')
     parser.add_argument('--vae_ckpt', default='')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--clip_vocab', default='',
+                        help='path to the CLIP BPE merges file '
+                             '(bpe_simple_vocab_16e6.txt[.gz]); default '
+                             'resolves $LN3DIFF_CLIP_BPE then '
+                             'assets/, else the hash fallback')
     parser.add_argument('--video_format', default='avi',
                         choices=['avi', 'gif', 'png'],
                         help='orbit output container: MJPEG avi '
@@ -89,7 +94,7 @@ def main():
     from ln3diff_tpu.config import build_vae, denoiser_preset, \
         vae_preset, RENDER_PRESETS
     from ln3diff_tpu.conditioning.clip import (CLIPTextModel,
-                                               SimpleCLIPTokenizer)
+                                               default_tokenizer)
     from ln3diff_tpu.diffusion.gaussian import make_diffusion
     from ln3diff_tpu.models.dit import DiT_TriLatent
     from ln3diff_tpu.models.vae import TriplaneVAE
@@ -113,7 +118,7 @@ def main():
     vae_cfg = vae_preset(args.vae)
     vae = build_vae(vae_cfg)
     text_model = CLIPTextModel()
-    tokenizer = SimpleCLIPTokenizer()
+    tokenizer = default_tokenizer(args.clip_vocab or None)
 
     x0 = jnp.zeros((2, 32, 32, 12))
     t0 = jnp.zeros((2,))
