@@ -234,7 +234,8 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
     def mesh_serial():
         sg = np.asarray(pipeline.dispatch_mesh_sigma(planes, MESH_GRID))
         verts, faces = march_grid(sg, MESH_GRID)
-        rgb = dispatch_vertex_colors(pipeline._mesh_decoder(planes), verts)
+        rgb = dispatch_vertex_colors(pipeline._mesh_decoder(planes), verts,
+                                     as_uint8=True)
         return rgb if rgb is not None else verts
 
     _, walls['mesh'] = timed(mesh_serial)
@@ -302,7 +303,8 @@ def main():
     # honest steady-state wall a dedicated serving chip sees.
     staged_total = sum(walls_by_phase.values())
     for prompt, seed in [('a wooden chair', 0), ('a sports car', 1),
-                         ('an airplane', 2), ('a ceramic vase', 3)]:
+                         ('an airplane', 2), ('a ceramic vase', 3),
+                         ('a leather sofa', 4), ('a stone statue', 5)]:
         need = (walls[-1] if walls else staged_total) * 1.5 + 5
         if remaining() < need:
             break

@@ -245,25 +245,30 @@ class TextTo3DPipeline:
         return decoder
 
     def dispatch_mesh_sigma(self, planes, grid_size: int = 192,
-                            aabb: float = 0.45):
+                            aabb: float = 0.45, smooth: bool = True):
         """Enqueue the σ-grid device query WITHOUT waiting — returns the
         in-flight device array.  Call before a large host readback (e.g.
         the orbit video) so query compute/transfer overlap with it.
 
         chunk 2^18 (vs the reference's VRAM-bound 2^16): 27 lax.map
         steps instead of 109 for a 192³ grid — larger fused-kernel grids
-        per step, same ≤0.2 GB transient."""
+        per step, same ≤0.2 GB transient.
+
+        ``smooth`` (serving default True): on-device 3³ σ denoise —
+        bounds the host marching stage against noisy fields (the 0.2–3 s
+        mesh tail) at sub-voxel iso-surface shift; pass False for the
+        reference-parity raw field (``render.mesh.smooth_sigma_grid``)."""
         from .render.mesh import query_grid_sigma
         return query_grid_sigma(self._mesh_decoder(planes), grid_size, aabb,
-                                chunk=2**18)
+                                chunk=2**18, smooth=smooth)
 
     def export_mesh(self, planes, path: str, grid_size: int = 192,
                     aabb: float = 0.45, threshold: float = 10.0,
-                    sigma_grid=None):
+                    sigma_grid=None, smooth: bool = False):
         """Per-instance mesh export (reference 192³ grid, σ>10, −90° x)."""
         verts, colors, faces = extract_mesh(
             self._mesh_decoder(planes), grid_size=grid_size, aabb=aabb,
-            threshold=threshold, sigma_grid=sigma_grid)
+            threshold=threshold, sigma_grid=sigma_grid, smooth=smooth)
         verts = rotate_x(verts, -90.0)
         if path.endswith('.ply'):
             export_ply(path, verts, colors, faces)
@@ -306,27 +311,39 @@ class TextTo3DPipeline:
             out['video'] = np.asarray(video) if video_uint8 else video
             return out
 
-        # Interleaved schedule: the mesh's small device stages slot
-        # BETWEEN orbit dispatch groups so every host step (σ pull,
-        # marching tetrahedra, OBJ write) overlaps in-flight render
-        # frames instead of serializing after them.
+        # Interleaved schedule: σ query first, then the HEAD frame group,
+        # then — after the (cheap) σ pull — the REST of the orbit is
+        # dispatched BEFORE the host marching stage, so marching
+        # tetrahedra / rotate / color-dispatch all run while the device
+        # chews through in-flight frames instead of leaving it idle
+        # (march alone is 0.1–1 s of pure host time).
+        from .render.mesh import count_crossing_cells
         sigma_grid = self.dispatch_mesh_sigma(planes, mesh_grid)
+        n_cross = count_crossing_cells(sigma_grid, mesh_grid)  # in-flight
         head = min(max(num_frames // 4, 1), num_frames)
         v1 = self.render_orbit(planes, num_frames,
                                render_resolution=render_resolution,
                                frame_slice=(0, head), cameras=cameras)
-        sigma_np = np.asarray(sigma_grid)       # overlaps head frames
-        verts, faces = march_grid(sigma_np, mesh_grid)
-        verts_w = rotate_x(verts, -90.0)
-        rgb_dev = dispatch_vertex_colors(self._mesh_decoder(planes), verts)
+        if int(n_cross):
+            sigma_np = np.asarray(sigma_grid)   # overlaps head frames
+        else:
+            sigma_np = None     # empty surface: skip the 14 MB σ pull
         v2 = None
         if head < num_frames:
             v2 = self.render_orbit(planes, num_frames,
                                    render_resolution=render_resolution,
                                    frame_slice=(head, num_frames),
                                    cameras=cameras)
+        if sigma_np is not None:
+            verts, faces = march_grid(sigma_np, mesh_grid)  # overlaps v2
+        else:
+            verts = np.zeros((0, 3), np.float32)
+            faces = np.zeros((0, 3), np.int64)
+        verts_w = rotate_x(verts, -90.0)
+        rgb_dev = dispatch_vertex_colors(self._mesh_decoder(planes), verts,
+                                         as_uint8=True)
         colors = np.zeros_like(verts) if rgb_dev is None \
-            else np.clip(np.asarray(rgb_dev), 0.0, 1.0)
+            else np.asarray(rgb_dev).astype(np.float32) / 255.0
         if mesh_path.endswith('.ply'):
             export_ply(mesh_path, verts_w, colors, faces)
         else:

@@ -137,3 +137,80 @@ class TestExtraction:
         lines = obj.read_text().splitlines()
         assert lines[0].startswith('v ') and len(lines[0].split()) == 7
         assert ply.read_text().startswith('ply')
+
+
+class TestSigmaSmoothing:
+    """Serving-mode σ denoise (`smooth_sigma_grid`): sub-voxel surface
+    shift on smooth fields, crossing-cell collapse on noise fields."""
+
+    def test_sphere_surface_shift_subvoxel(self):
+        """A linear-ramp sphere's iso-radius must move < 1 voxel."""
+        from ln3diff_tpu.render.mesh import extract_mesh
+
+        def smooth_sphere(pts):
+            r = jnp.linalg.norm(pts, axis=-1, keepdims=True)
+            return jnp.clip(pts * 0.5 + 0.5, 0, 1), 10.0 + (0.3 - r) * 200.0
+
+        kw = dict(grid_size=48, aabb=0.45, threshold=10.0, chunk=4096)
+        v_raw, _, _ = extract_mesh(smooth_sphere, smooth=False, **kw)
+        v_sm, _, _ = extract_mesh(smooth_sphere, smooth=True, **kw)
+        voxel = 0.9 / 47
+        r_raw = np.linalg.norm(v_raw, axis=-1).mean()
+        r_sm = np.linalg.norm(v_sm, axis=-1).mean()
+        assert len(v_sm) > 0
+        assert abs(r_sm - r_raw) < voxel
+
+    def test_noise_crossings_collapse(self):
+        """iid sub-threshold noise whose tail rings past the iso value
+        (the realistic failure: σ ringing around thin structures /
+        early-training fields): smoothing (27× variance cut) must
+        collapse the spurious crossings by >50×."""
+        from ln3diff_tpu.render.mesh import (_crossing_cells,
+                                             smooth_sigma_grid)
+        rng = np.random.default_rng(0)
+        g = 64
+        sigma = rng.normal(5.0, 4.0, size=(g, g, g)).astype(np.float32)
+        raw = _crossing_cells(sigma, 10.0).size
+        sm = np.asarray(smooth_sigma_grid(jnp.asarray(sigma)))
+        smoothed = _crossing_cells(sm, 10.0).size
+        assert raw > 100_000                     # tail crossings everywhere
+        assert smoothed < raw // 50              # collapsed
+        # and a CONSTANT field is a fixed point (replicate edges)
+        const = np.full((16, 16, 16), 3.0, np.float32)
+        out = np.asarray(smooth_sigma_grid(jnp.asarray(const)))
+        np.testing.assert_allclose(out, const, rtol=1e-6)
+
+    def test_chunk_bucketing(self):
+        """Vertex-color chunk counts quantize to {2^k, 3*2^k} so distinct
+        compiled lax.map programs stay O(log) in mesh size."""
+        from ln3diff_tpu.render.mesh import _bucket_chunks
+        for n, want in [(1, 1), (2, 2), (3, 3), (4, 4), (5, 6), (6, 6),
+                        (7, 8), (9, 12), (13, 16), (17, 24), (25, 32),
+                        (33, 48), (49, 64)]:
+            assert _bucket_chunks(n) == want, (n, _bucket_chunks(n), want)
+        for n in range(1, 200):
+            b = _bucket_chunks(n)
+            assert b >= n and b <= n * 3 // 2 + 2
+
+    def test_march_grid_triangle_cap(self):
+        """A pathological noise field truncates at max_tris_cap with
+        valid geometry instead of reallocating gigabytes."""
+        from ln3diff_tpu.render.mesh import march_grid
+        rng = np.random.default_rng(1)
+        sigma = rng.normal(10.0, 8.0, size=(32, 32, 32)).astype(np.float32)
+        full_v, full_f = march_grid(sigma, 32)
+        cap = max(len(full_f) // 3, 1)
+        v, f = march_grid(sigma, 32, max_tris_cap=cap)
+        assert len(f) == cap
+        np.testing.assert_allclose(v[:cap * 3], full_v[:cap * 3])
+
+    def test_device_crossing_count_matches_host(self):
+        from ln3diff_tpu.render.mesh import (_crossing_cells,
+                                             count_crossing_cells)
+        rng = np.random.default_rng(2)
+        for field in [rng.normal(10.0, 4.0, (24, 24, 24)),
+                      np.zeros((24, 24, 24)),          # empty: early-out
+                      np.full((24, 24, 24), 99.0)]:    # solid: no crossing
+            f = field.astype(np.float32)
+            got = int(count_crossing_cells(jnp.asarray(f.reshape(-1)), 24))
+            assert got == _crossing_cells(f, 10.0).size
