@@ -34,6 +34,15 @@ Self-test: ``tests/test_parity_script.py`` writes a small synthetic
 joint checkpoint FROM the reference modules and runs this script's
 ``run_parity`` end-to-end on it.
 
+Scope: the t23d/i23d joint-objaverse family (the released
+``model_joint_denoise_rec_model*`` checkpoints).  The ShapeNet/FFHQ
+families cannot be composed into a full reference chain OFFLINE — the
+reference builds their DINO encoder/decoder through ``torch.hub``
+(``vit/vision_transformer.py``), unavailable without egress; their
+module-level conversion parity is covered by
+``tests/test_ref_parity_shapenet.py`` / ``test_ref_parity_ffhq.py``
+(mini-DINO stand-ins with the reference's exact state-dict naming).
+
 Example:
     python scripts/parity_vs_reference.py \
         --ckpt model_joint_denoise_rec_model3950000.safetensors \
