@@ -112,11 +112,12 @@ class EG3DWarmupTrainer:
         c = jnp.zeros((B, gen_cfg.c_dim))
         init_opts = dataclasses.replace(self.opts, depth_resolution=8,
                                         depth_resolution_importance=8)
-        if teacher_params is None:
-            teacher_params = jax.jit(
-                lambda k: self.gen.init(k, z, cam, init_opts, 8, c)['params']
-            )(k_gen)
-        self.teacher_params = teacher_params
+        # keep the FULL teacher variables: truncation ψ<1 reads the
+        # tracked w_avg from the 'stats' collection at apply time
+        self.teacher_variables = jax.jit(
+            lambda k: self.gen.init(k, z, cam, init_opts, 8, c))(k_gen)
+        if teacher_params is not None:
+            self.teacher_params = teacher_params
 
         imgs = jnp.zeros((B, self.enc_res, self.enc_res, self.enc_ch))
         variables = jax.jit(
@@ -129,6 +130,15 @@ class EG3DWarmupTrainer:
             params, tx, ema_rates=(('ema', warm_cfg.ema_rate),),
             constants=variables)
         self._step_fn = None
+
+    @property
+    def teacher_params(self):
+        """Teacher 'params' collection (checkpoint-loader target)."""
+        return self.teacher_variables['params']
+
+    @teacher_params.setter
+    def teacher_params(self, params):
+        self.teacher_variables = dict(self.teacher_variables, params=params)
 
     # -- host-side camera sampling ------------------------------------------
 
@@ -157,7 +167,7 @@ class EG3DWarmupTrainer:
         z = jax.random.normal(k_z, (B, self.gen_cfg.z_dim))
         c0 = jnp.zeros((B, self.gen_cfg.c_dim))
         t_out = self.gen.apply(
-            {'params': teacher}, z, camera25, self.opts, res, c0,
+            teacher, z, camera25, self.opts, res, c0,
             truncation_psi=cfg.truncation_psi, return_ws=True)
         t_out = jax.lax.stop_gradient(t_out)
 
@@ -181,7 +191,7 @@ class EG3DWarmupTrainer:
         half = self.opts.box_warp / 2.0
         coords = jax.random.uniform(
             k_pts, (B, cfg.num_shape_points, 3), minval=-half, maxval=half)
-        _, sigma_t = self.gen.apply({'params': teacher}, t_out['planes'],
+        _, sigma_t = self.gen.apply(teacher, t_out['planes'],
                                     coords, self.opts.box_warp,
                                     method=TriPlaneGenerator.query_points)
         _, sigma_s = self.model.apply(
@@ -231,7 +241,7 @@ class EG3DWarmupTrainer:
         for i in range(num_steps):
             cam = jnp.asarray(self._sample_cameras(cfg.batch_size))
             self.state, metrics = self._step_fn(
-                self.state, self.teacher_params, cam,
+                self.state, self.teacher_variables, cam,
                 jax.random.fold_in(jax.random.PRNGKey(self._seed), i))
             if (i + 1) % cfg.log_interval == 0:
                 logger.log_loss_dict(

@@ -62,7 +62,7 @@ class TestEG3DWarmup:
             cam = jnp.asarray(tr._sample_cameras(2))
             z = jax.random.normal(jax.random.PRNGKey(42),
                                   (2, tr.gen_cfg.z_dim))
-            t_out = tr.gen.apply({'params': tr.teacher_params}, z, cam,
+            t_out = tr.gen.apply(tr.teacher_variables, z, cam,
                                  tr.opts, tr.cfg.render_resolution,
                                  jnp.zeros((2, tr.gen_cfg.c_dim)),
                                  truncation_psi=tr.cfg.truncation_psi,
@@ -82,7 +82,7 @@ class TestEG3DWarmup:
         losses = []
         for i in range(25):
             cam = jnp.asarray(tr._sample_cameras(tr.cfg.batch_size))
-            state, metrics = step(state, tr.teacher_params, cam,
+            state, metrics = step(state, tr.teacher_variables, cam,
                                   jax.random.fold_in(
                                       jax.random.PRNGKey(0), i))
             losses.append(float(metrics['loss']))

@@ -17,24 +17,12 @@ pytestmark = [pytest.mark.slow,
 
 
 def _make_reference_pickle(tmp_path):
-    """Build a small torch net, wrap it with the reference's persistence
-    decorator, and pickle it the way the reference's training loop does."""
+    """Build a small torch net decorated with the reference's persistence
+    decorator (see ``_legacy_pkl_net``), and pickle it the way the
+    reference's training loop does."""
     import torch
-    from utils.torch_utils import persistence
 
-    @persistence.persistent_class
-    class Leaf(torch.nn.Module):
-        def __init__(self, n):
-            super().__init__()
-            self.fc = torch.nn.Linear(n, n)
-            self.register_buffer('gain', torch.ones(n) * 2.0)
-
-    @persistence.persistent_class
-    class Net(torch.nn.Module):
-        def __init__(self, n=6):
-            super().__init__()
-            self.body = Leaf(n)
-            self.w = torch.nn.Parameter(torch.randn(n, 3))
+    from _legacy_pkl_net import Net
 
     torch.manual_seed(0)
     net = Net(6)
