@@ -90,6 +90,15 @@ def _sdpa(q, k, v):
     return jax.nn.dot_product_attention(q, k, v)
 
 
+def _dense_cls(quantized: bool):
+    """nn.Dense, or its W8A8 int8 drop-in (``ops/int8.py``) for the
+    opt-in quantized serving mode."""
+    if quantized:
+        from ..ops.int8 import Int8Dense
+        return Int8Dense
+    return nn.Dense
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (fused under XLA).
 
@@ -100,14 +109,16 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     qk_norm: bool = False
     fused: bool = False
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, L, D = x.shape
+        dense = _dense_cls(self.quantized)
         head_dim = D // self.num_heads
-        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name='qkv')(x)
+        qkv = dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name='qkv')(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -123,7 +134,7 @@ class Attention(nn.Module):
         else:
             out = _sdpa(q, k, v)
         out = out.reshape(B, L, D)
-        return nn.Dense(D, dtype=self.dtype, name='proj')(out)
+        return dense(D, dtype=self.dtype, name='proj')(out)
 
 
 class CrossAttention(nn.Module):
@@ -137,17 +148,19 @@ class CrossAttention(nn.Module):
     context_dim: Optional[int] = None
     dim_head: int = 64
     qk_norm: bool = False
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context):
         B, L, D = x.shape
+        dense = _dense_cls(self.quantized)
         inner = self.num_heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name='to_q')(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     name='to_k')(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     name='to_v')(context)
+        q = dense(inner, use_bias=False, dtype=self.dtype, name='to_q')(x)
+        k = dense(inner, use_bias=False, dtype=self.dtype,
+                  name='to_k')(context)
+        v = dense(inner, use_bias=False, dtype=self.dtype,
+                  name='to_v')(context)
 
         def heads(t):
             return t.reshape(B, -1, self.num_heads, self.dim_head)
@@ -158,7 +171,7 @@ class CrossAttention(nn.Module):
             k = nn.RMSNorm(epsilon=1e-5, dtype=self.dtype, name='k_norm')(k)
         out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(B, L, inner)
-        return nn.Dense(D, dtype=self.dtype, name='to_out')(out)
+        return dense(D, dtype=self.dtype, name='to_out')(out)
 
 
 class GeluMLP(nn.Module):
@@ -168,13 +181,15 @@ class GeluMLP(nn.Module):
     # with Activation.GeLU = exact nn.GELU); only CaptionEmbedder's Mlp
     # uses the tanh approximation (``approx_gelu``).
     exact_gelu: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
         D = x.shape[-1]
-        x = nn.Dense(D * self.hidden_mult, dtype=self.dtype, name='fc1')(x)
+        dense = _dense_cls(self.quantized)
+        x = dense(D * self.hidden_mult, dtype=self.dtype, name='fc1')(x)
         x = nn.gelu(x, approximate=not self.exact_gelu)
-        return nn.Dense(D, dtype=self.dtype, name='fc2')(x)
+        return dense(D, dtype=self.dtype, name='fc2')(x)
 
 
 class TimestepEmbedder(nn.Module):
@@ -264,6 +279,9 @@ class DiTBlock(nn.Module):
     exact_gelu: bool = True
     # serving knob: VMEM-resident Pallas self-attention (short-L only)
     fused_attention: bool = False
+    # serving knob: W8A8 int8 projections/MLP (ops/int8.py) — adaLN,
+    # norms and embedders stay bf16 (tiny M / run once)
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -301,7 +319,8 @@ class DiTBlock(nn.Module):
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = mods
 
         attn = Attention(self.num_heads, qk_norm=qk_norm,
-                         fused=self.fused_attention, dtype=self.dtype,
+                         fused=self.fused_attention,
+                         quantized=self.quantized, dtype=self.dtype,
                          name='attn')
         h = t2i_modulate(norm('norm1')(x), shift_msa, scale_msa)
         if self.variant.startswith('image-') and dino_tokens is not None:
@@ -321,11 +340,13 @@ class DiTBlock(nn.Module):
                                  name='attention_y_norm')(ctx)
             x = x + CrossAttention(self.num_heads,
                                    context_dim=self.context_dim,
+                                   quantized=self.quantized,
                                    dtype=self.dtype, name='cross_attn')(x, ctx)
 
         h = t2i_modulate(norm('norm2')(x), shift_mlp, scale_mlp)
         x = x + gate_mlp * GeluMLP(self.mlp_ratio, dtype=self.dtype,
                                    exact_gelu=self.exact_gelu,
+                                   quantized=self.quantized,
                                    name='mlp')(h)
         return x
 
@@ -405,6 +426,11 @@ class DiTConfig:
     exact_gelu: bool = True
     # serving mode: Pallas VMEM-resident self-attention (ops/fused_attention)
     fused_attention: bool = False
+    # serving mode: W8A8 int8 block projections/MLP (ops/int8.py).
+    # Params change shape (kernel_q int8 + scale); fill from a trained
+    # bf16 state with ops.int8.quantize_params_like. Opt-in — the
+    # parity/bench default stays bf16.
+    quantized: bool = False
     # training mode: rematerialize each scanned block in the backward pass
     # (standard TPU FLOPs-for-HBM trade — activation memory drops from
     # O(depth) to O(1) blocks; measured REQUIRED for DiT-L/2 training on a
@@ -433,6 +459,7 @@ class _TrunkBody(nn.Module):
                      context_dim=cfg.context_dim,
                      exact_gelu=cfg.exact_gelu,
                      fused_attention=cfg.fused_attention,
+                     quantized=cfg.quantized,
                      dtype=cfg.dtype, name='block')(
                          x, c, context=crossattn, dino_tokens=dino)
         return x, None

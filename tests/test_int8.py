@@ -1,0 +1,127 @@
+"""W8A8 int8 quantized DiT serving (``ops/int8.py``): weight round-trip
+bounds, the quantized dense against the exact matmul, and the end-to-end
+quantized DiT against its bf16 twin (the opt-in serving mode — the
+reference has no analogue; parity default stays bf16)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ln3diff_tpu.models.dit import DiT_TriLatent, DiTConfig
+from ln3diff_tpu.ops.int8 import (int8_dense, quantize_params_like,
+                                  quantize_weight)
+
+
+class TestInt8Ops:
+
+    def test_quantize_weight_roundtrip_bound(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.3
+        w_q, scale = quantize_weight(w)
+        assert w_q.dtype == jnp.int8
+        assert scale.shape == (32,)
+        deq = w_q.astype(jnp.float32) * scale[None]
+        # symmetric rounding: error ≤ scale/2 per element
+        assert np.all(np.abs(deq - w) <= np.asarray(scale)[None] / 2 + 1e-7)
+
+    def test_quantize_weight_stacked(self):
+        """Scan-stacked (depth, in, out) kernels get per-(depth, out)
+        scales — the in axis (ndim-2) is the only reduction."""
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 8))
+        w_q, scale = quantize_weight(w)
+        assert w_q.shape == (3, 16, 8) and scale.shape == (3, 8)
+        per_slice = [quantize_weight(w[i]) for i in range(3)]
+        for i, (wq_i, s_i) in enumerate(per_slice):
+            np.testing.assert_array_equal(w_q[i], wq_i)
+            np.testing.assert_allclose(scale[i], s_i, rtol=1e-6)
+
+    def test_int8_dense_close_to_exact(self):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+        x = jax.random.normal(k1, (4, 96, 128))
+        w = jax.random.normal(k2, (128, 64)) * 0.1
+        b = jax.random.normal(k3, (64,))
+        w_q, s = quantize_weight(w)
+        y = int8_dense(x, w_q, s, b, dtype=jnp.float32)
+        ref = x @ w + b
+        rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel
+
+    def test_int8_dense_outlier_rows_stay_bounded(self):
+        """Per-token dynamic scales keep outlier rows from poisoning the
+        rest of the batch."""
+        x = jnp.ones((8, 32)).at[0].mul(1000.0)
+        w = jax.random.normal(jax.random.PRNGKey(3), (32, 16)) * 0.2
+        w_q, s = quantize_weight(w)
+        y = int8_dense(x, w_q, s, dtype=jnp.float32)
+        ref = x @ w
+        rel = np.linalg.norm(np.asarray(y - ref), axis=1) \
+            / np.linalg.norm(np.asarray(ref), axis=1)
+        assert rel.max() < 0.02, rel
+
+
+class TestQuantizedDiT:
+
+    def _build(self):
+        cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                        hidden_size=64, depth=2, num_heads=4,
+                        context_dim=24, variant='text',
+                        dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 12))
+        t = jnp.asarray([10, 500])
+        ctx = {'crossattn': jax.random.normal(jax.random.PRNGKey(1),
+                                              (2, 7, 24))}
+        model = DiT_TriLatent(cfg)
+        variables = model.init(jax.random.PRNGKey(2), x, t, ctx)
+        # the adaLN/final projections are zero-init (output would be
+        # exactly 0) — perturb every param so the comparison is live
+        leaves, treedef = jax.tree_util.tree_flatten(variables['params'])
+        keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+        leaves = [w + 0.05 * jax.random.normal(k, w.shape, w.dtype)
+                  for w, k in zip(leaves, keys)]
+        variables = dict(variables,
+                         params=jax.tree_util.tree_unflatten(treedef, leaves))
+        return cfg, model, variables, (x, t, ctx)
+
+    def test_quantized_matches_bf16_within_tolerance(self):
+        cfg, model, variables, (x, t, ctx) = self._build()
+        y_ref = model.apply(variables, x, t, ctx)
+
+        qcfg = dataclasses.replace(cfg, quantized=True)
+        qmodel = DiT_TriLatent(qcfg)
+        q_struct = jax.eval_shape(
+            lambda k: qmodel.init(k, x, t, ctx), jax.random.PRNGKey(2))
+        q_params = quantize_params_like(q_struct['params'],
+                                        variables['params'])
+        y_q = qmodel.apply(
+            {'params': q_params, 'constants': variables['constants']},
+            x, t, ctx)
+
+        assert y_q.shape == y_ref.shape
+        rel = float(jnp.linalg.norm((y_q - y_ref).astype(jnp.float32))
+                    / jnp.linalg.norm(y_ref.astype(jnp.float32)))
+        # W8A8 on a 2-block model: deviation stays in the few-percent
+        # range on top of bf16 noise
+        assert rel < 0.10, rel
+        assert np.isfinite(np.asarray(y_q, dtype=np.float32)).all()
+
+    def test_quantized_param_tree_shapes(self):
+        cfg, model, variables, (x, t, ctx) = self._build()
+        qcfg = dataclasses.replace(cfg, quantized=True)
+        qmodel = DiT_TriLatent(qcfg)
+        qvars = qmodel.init(jax.random.PRNGKey(2), x, t, ctx)
+        blk = qvars['params']['blocks']['block']
+        qkv = blk['attn']['qkv']
+        assert qkv['kernel_q'].dtype == jnp.int8
+        assert qkv['kernel_q'].shape == (2, 64, 192)   # scan-stacked
+        assert qkv['scale'].shape == (2, 192)
+        # adaLN modulation stays an UNquantized nn.Dense
+        assert 'kernel' in blk['adaLN_modulation']
+
+    def test_quantize_params_like_rejects_mismatched_tree(self):
+        cfg, model, variables, (x, t, ctx) = self._build()
+        with pytest.raises(ValueError, match='mismatch'):
+            quantize_params_like(
+                {'a': {'q': {'kernel_q': None, 'scale': None}}},
+                {'b': {'q': {'kernel': jnp.zeros((4, 4))}}})
