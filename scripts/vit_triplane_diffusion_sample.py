@@ -51,6 +51,11 @@ def main():
     parser.add_argument('--mesh_grid', type=int, default=192)
     parser.add_argument('--denoiser_ckpt', default='')
     parser.add_argument('--vae_ckpt', default='')
+    parser.add_argument('--int8_dit', action='store_true',
+                        help='W8A8 int8 quantized DiT serving '
+                             '(ops/int8.py): ~1.37x faster sampling scan '
+                             'on v5e at ~2%% output deviation; bf16 '
+                             'remains the parity default')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--clip_vocab', default='',
                         help='path to the CLIP BPE merges file '
@@ -151,6 +156,17 @@ def main():
     # halves the weight HBM read, bitwise identical)
     from ln3diff_tpu.utils.misc import cast_floating
     den_vars = cast_floating(den_vars, jnp.bfloat16)
+    if args.int8_dit and not is_lsgm_unet:
+        # quantize AFTER checkpoint load: trained bf16 kernels → int8
+        from ln3diff_tpu.ops.int8 import quantize_params_like
+        den_cfg = dataclasses.replace(den_cfg, quantized=True)
+        denoiser = DiT_TriLatent(den_cfg)
+        q_struct = jax.eval_shape(
+            lambda k: denoiser.init(k, x0, t0, ctx0), jax.random.PRNGKey(1))
+        den_vars = dict(den_vars, params=jax.jit(
+            lambda p: quantize_params_like(q_struct['params'], p))(
+                den_vars['params']))
+        logger.log('int8 DiT serving: block projections quantized W8A8')
     if args.vae_ckpt:
         vae_vars = {'params': load_numpy_checkpoint(
             args.vae_ckpt, vae_vars['params']),

@@ -187,6 +187,43 @@ class TestTextTo3DPipeline:
         assert lat.shape == (2, 8, 8, 12)
         assert np.isfinite(np.asarray(lat)).all()
 
+    def test_int8_quantized_sampling(self):
+        """Opt-in W8A8 int8 DiT serving through the sampling scan
+        (``ops/int8.py``): quantize a bf16 pipeline's denoiser params
+        and sample — the int8 dot path must run inside the jitted DDIM
+        scan and stay finite (accuracy is bounded in test_int8.py)."""
+        from ln3diff_tpu.ops.int8 import quantize_params_like
+
+        den_cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                            hidden_size=32, depth=2, num_heads=2,
+                            variant='text', context_dim=16,
+                            dtype=jnp.float32)
+        denoiser = DiT_TriLatent(den_cfg)
+        x0 = jnp.zeros((2, 8, 8, 12))
+        ctx = {'crossattn': jnp.zeros((2, 7, 16))}
+        den_vars = denoiser.init(jax.random.PRNGKey(0), x0,
+                                 jnp.zeros((2,)), ctx)
+
+        qcfg = dataclasses.replace(den_cfg, quantized=True)
+        qdenoiser = DiT_TriLatent(qcfg)
+        q_struct = jax.eval_shape(
+            lambda k: qdenoiser.init(k, x0, jnp.zeros((2,)), ctx),
+            jax.random.PRNGKey(0))
+        q_vars = dict(den_vars, params=quantize_params_like(
+            q_struct['params'], den_vars['params']))
+
+        pipeline = TextTo3DPipeline(
+            lambda p, x, t, c: qdenoiser.apply(p, x, t, c), q_vars,
+            None, None, None, None,
+            sampler=SamplerSpec(kind='ddim', num_steps=4, cfg_scale=2.0,
+                                latent_shape=(8, 8, 12)),
+            diffusion=make_diffusion(steps=100, timestep_respacing='4'))
+        lat = pipeline.sample_latents(jax.random.PRNGKey(1), 2,
+                                      {'crossattn': jnp.ones((1, 7, 16))},
+                                      {'crossattn': jnp.zeros((1, 7, 16))})
+        assert lat.shape == (2, 8, 8, 12)
+        assert np.isfinite(np.asarray(lat)).all()
+
     def test_ray_folded_orbit_matches_per_frame(self):
         """render_orbit with render_rays_fn (frames folded into the ray
         axis, one packed table) must match the per-frame path."""
