@@ -48,6 +48,17 @@ def build_runner(args):
     # bf16 weight storage (bf16-compute DiT; halves the weight HBM read)
     from ln3diff_tpu.utils.misc import cast_floating
     den_vars = cast_floating(den_vars, jnp.bfloat16)
+    if args.int8_dit:
+        # W8A8 int8 serving (ops/int8.py): ~1.37x faster sampling scan
+        from ln3diff_tpu.ops.int8 import quantize_params_like
+        den_cfg = dataclasses.replace(den_cfg, quantized=True)
+        denoiser = DiT_TriLatent(den_cfg)
+        q_struct = jax.eval_shape(
+            lambda k: denoiser.init(k, x0, jnp.zeros((2,)), ctx0),
+            jax.random.PRNGKey(1))
+        den_vars = dict(den_vars, params=jax.jit(
+            lambda p: quantize_params_like(q_struct['params'], p))(
+                den_vars['params']))
     cam0 = jnp.zeros((1, 25))
     vae_vars = vae.init(
         jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 12)), cam0,
@@ -106,6 +117,9 @@ def main():
     parser.add_argument('--render_resolution', type=int, default=128)
     parser.add_argument('--mesh_grid', type=int, default=128)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--int8_dit', action='store_true',
+                        help='W8A8 int8 quantized DiT serving '
+                             '(~1.37x faster sampling, ~2%% deviation)')
     parser.add_argument('--image', default='',
                         help='CLI mode: input image path')
     parser.add_argument('--image_dir', default='',

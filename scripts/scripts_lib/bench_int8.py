@@ -31,8 +31,9 @@ from ln3diff_tpu.models.dit import DiT_TriLatent, dit_registry
 from ln3diff_tpu.ops.int8 import quantize_params_like
 
 
-def build(quantized: bool, variables=None):
-    cfg = dit_registry('DiT-L/2', exact_gelu=False, quantized=quantized)
+def build(quantized: bool, variables=None, fused_attention: bool = False):
+    cfg = dit_registry('DiT-L/2', exact_gelu=False, quantized=quantized,
+                       fused_attention=fused_attention)
     model = DiT_TriLatent(cfg)
     x = jnp.zeros((2, 32, 32, 12), jnp.float32)
     t = jnp.zeros((2,), jnp.int32)
@@ -91,7 +92,8 @@ def main():
           f'= {1e3 * wall / n_steps:.2f} ms/step '
           f'({n_steps / wall:.1f} steps/s)', flush=True)
 
-    qmodel, qcfg, _, _ = build(True)
+    qmodel, qcfg, _, _ = build(True,
+                               fused_attention='fused' in sys.argv[2:])
     q_struct = jax.eval_shape(
         lambda k: qmodel.init(k, *args[:2], args[2]), jax.random.PRNGKey(0))
     q_params = jax.jit(
