@@ -182,3 +182,93 @@ def test_render_rays_sharded_over_rays_matches_single_device():
     np.testing.assert_allclose(np.asarray(got_depth),
                                np.asarray(ref_depth), rtol=1e-5, atol=1e-5)
     assert np.isfinite(np.asarray(got_rgb)).all()
+
+
+class TestServingShard:
+    """Multi-chip serving parallelism (`parallel/serving.py`): orbit
+    frames and mesh-grid point chunks sharded over the data axis must
+    match the single-device path exactly."""
+
+    def _render_setup(self):
+        from ln3diff_tpu.render.renderer import RenderOptions
+        opts = RenderOptions(depth_resolution=8,
+                             depth_resolution_importance=8,
+                             ray_start='auto', ray_end='auto',
+                             box_warp=1.0, filter_out_of_bbox=True,
+                             deterministic=True)
+        planes = jax.random.normal(jax.random.PRNGKey(0),
+                                   (1, 3, 32, 32, 8)) * 0.3
+        w1 = jax.random.normal(jax.random.PRNGKey(1), (8, 16)) * 0.3
+        w2 = jax.random.normal(jax.random.PRNGKey(2), (16, 4)) * 0.3
+        params = {'w1': w1, 'w2': w2}
+
+        def decoder_with(params):
+            def decoder(feats, dirs):
+                h = jax.nn.softplus(feats.mean(axis=1) @ params['w1'])
+                out = h @ params['w2']
+                return out[..., 1:], out[..., :1]
+            return decoder
+
+        return opts, planes, params, decoder_with
+
+    def test_orbit_frames_sharded_match_single_device(self):
+        from ln3diff_tpu.parallel.serving import shard_orbit_render
+        from ln3diff_tpu.render.camera import orbit_cameras
+        from ln3diff_tpu.render.ray_sampler import (sample_full_rays,
+                                                    unpack_25d_camera)
+        from ln3diff_tpu.render.renderer import render_rays
+
+        opts, planes, params, decoder_with = self._render_setup()
+        res = 16
+
+        def render_fn(params, planes_f, cams):
+            c2w, intr = unpack_25d_camera(cams)
+            ray_o, ray_d = sample_full_rays(c2w, intr, res)
+            out = render_rays(None, planes_f, decoder_with(params),
+                              ray_o, ray_d, opts)
+            F = cams.shape[0]
+            return out.feature_samples.reshape(F, res, res, -1)
+
+        cams = jnp.asarray(orbit_cameras(8, 1.8, 30.0, 20.0))
+        planes_f = jnp.broadcast_to(planes, (8,) + planes.shape[1:])
+        ref = jax.jit(render_fn)(params, planes_f, cams)
+
+        mesh = make_mesh(MeshConfig(data=8))
+        fn = shard_orbit_render(render_fn, mesh)
+        got = fn(params, planes, cams)
+
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        with pytest.raises(AssertionError, match='divisible'):
+            fn(params, planes, cams[:6])
+
+    def test_points_sharded_match_single_device(self):
+        from ln3diff_tpu.parallel.serving import shard_points_query
+        from ln3diff_tpu.render.renderer import (RenderOptions,
+                                                 sample_from_planes)
+
+        opts, planes, params, decoder_with = self._render_setup()
+
+        def point_fn(params, planes, coords):
+            feats = sample_from_planes(planes, coords,
+                                       box_warp=opts.box_warp)
+            rgb, sigma = decoder_with(params)(feats, None)
+            return rgb, sigma
+
+        # N deliberately NOT divisible by 8 and > chunk to exercise
+        # both the host pad and the per-device chunk-tail pad
+        N = 8 * 37 + 3
+        coords = jax.random.uniform(jax.random.PRNGKey(5), (1, N, 3),
+                                    minval=-0.45, maxval=0.45)
+        ref_rgb, ref_sigma = jax.jit(point_fn)(params, planes, coords)
+
+        mesh = make_mesh(MeshConfig(data=8))
+        fn = shard_points_query(point_fn, mesh, chunk=16)
+        got_rgb, got_sigma = fn(params, planes, coords)
+
+        np.testing.assert_allclose(np.asarray(got_rgb),
+                                   np.asarray(ref_rgb),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_sigma),
+                                   np.asarray(ref_sigma),
+                                   rtol=1e-5, atol=1e-5)
