@@ -139,15 +139,9 @@ def _build_pipeline():
         # opt-in W8A8 int8 DiT (ops/int8.py): 9.65 → 7.04 ms/step on v5e
         # at ~2% output deviation. NOT the driver default — the recorded
         # number stays at the bf16 parity numerics.
-        from ln3diff_tpu.ops.int8 import quantize_params_like
-        den_cfg = dataclasses.replace(den_cfg, quantized=True)
-        denoiser = DiT_TriLatent(den_cfg)
-        q_struct = jax.eval_shape(
-            lambda k: denoiser.init(k, x0, jnp.zeros((2,)), ctx0),
-            jax.random.PRNGKey(1))
-        den_vars = dict(den_vars, params=jax.jit(
-            lambda p: quantize_params_like(q_struct['params'], p))(
-                den_vars['params']))
+        from ln3diff_tpu.ops.int8 import quantize_dit
+        denoiser, den_vars = quantize_dit(den_cfg, den_vars, x0,
+                                          jnp.zeros((2,)), ctx0)
     render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
     # jit the init: eager flax init dispatches thousands of tiny ops
     # one-by-one over the host<->chip tunnel (measured 550 s of the

@@ -105,6 +105,28 @@ class Int8Dense(nn.Module):
         return int8_dense(x, w_q, w_scale, bias, dtype=self.dtype)
 
 
+def quantize_dit(cfg, den_vars, x, t, ctx, seed: int = 1):
+    """One-call serving quantization for a DiT denoiser.
+
+    Takes the bf16/f32 ``DiTConfig`` + loaded variables and example
+    inputs; returns ``(quantized_model, quantized_variables)`` ready to
+    swap into a pipeline.  Used by the sampler CLI, the gradio demo and
+    ``bench.py`` (``--int8_dit`` / ``LN3DIFF_BENCH_INT8=1``).
+    """
+    import dataclasses
+
+    from ..models.dit import DiT_TriLatent
+
+    qcfg = dataclasses.replace(cfg, quantized=True)
+    qmodel = DiT_TriLatent(qcfg)
+    q_struct = jax.eval_shape(lambda k: qmodel.init(k, x, t, ctx),
+                              jax.random.PRNGKey(seed))
+    q_params = jax.jit(
+        lambda p: quantize_params_like(q_struct['params'], p))(
+            den_vars['params'])
+    return qmodel, dict(den_vars, params=q_params)
+
+
 def quantize_params_like(q_params, params):
     """Fill an ``Int8Dense``-bearing param tree from a trained pytree.
 

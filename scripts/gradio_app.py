@@ -50,15 +50,9 @@ def build_runner(args):
     den_vars = cast_floating(den_vars, jnp.bfloat16)
     if args.int8_dit:
         # W8A8 int8 serving (ops/int8.py): ~1.37x faster sampling scan
-        from ln3diff_tpu.ops.int8 import quantize_params_like
-        den_cfg = dataclasses.replace(den_cfg, quantized=True)
-        denoiser = DiT_TriLatent(den_cfg)
-        q_struct = jax.eval_shape(
-            lambda k: denoiser.init(k, x0, jnp.zeros((2,)), ctx0),
-            jax.random.PRNGKey(1))
-        den_vars = dict(den_vars, params=jax.jit(
-            lambda p: quantize_params_like(q_struct['params'], p))(
-                den_vars['params']))
+        from ln3diff_tpu.ops.int8 import quantize_dit
+        denoiser, den_vars = quantize_dit(den_cfg, den_vars, x0,
+                                          jnp.zeros((2,)), ctx0)
     cam0 = jnp.zeros((1, 25))
     vae_vars = vae.init(
         jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 12)), cam0,

@@ -158,14 +158,8 @@ def main():
     den_vars = cast_floating(den_vars, jnp.bfloat16)
     if args.int8_dit and not is_lsgm_unet:
         # quantize AFTER checkpoint load: trained bf16 kernels → int8
-        from ln3diff_tpu.ops.int8 import quantize_params_like
-        den_cfg = dataclasses.replace(den_cfg, quantized=True)
-        denoiser = DiT_TriLatent(den_cfg)
-        q_struct = jax.eval_shape(
-            lambda k: denoiser.init(k, x0, t0, ctx0), jax.random.PRNGKey(1))
-        den_vars = dict(den_vars, params=jax.jit(
-            lambda p: quantize_params_like(q_struct['params'], p))(
-                den_vars['params']))
+        from ln3diff_tpu.ops.int8 import quantize_dit
+        denoiser, den_vars = quantize_dit(den_cfg, den_vars, x0, t0, ctx0)
         logger.log('int8 DiT serving: block projections quantized W8A8')
     if args.vae_ckpt:
         vae_vars = {'params': load_numpy_checkpoint(

@@ -119,6 +119,16 @@ class TestQuantizedDiT:
         # adaLN modulation stays an UNquantized nn.Dense
         assert 'kernel' in blk['adaLN_modulation']
 
+    def test_quantize_dit_helper(self):
+        """One-call serving quantization (used by the CLIs and bench)."""
+        from ln3diff_tpu.ops.int8 import quantize_dit
+        cfg, model, variables, (x, t, ctx) = self._build()
+        qmodel, qvars = quantize_dit(cfg, variables, x, t, ctx, seed=2)
+        assert qmodel.cfg.quantized
+        y = qmodel.apply(qvars, x, t, ctx)
+        assert y.shape == (2, 8, 8, 12)
+        assert np.isfinite(np.asarray(y, dtype=np.float32)).all()
+
     def test_quantize_params_like_rejects_mismatched_tree(self):
         cfg, model, variables, (x, t, ctx) = self._build()
         with pytest.raises(ValueError, match='mismatch'):
