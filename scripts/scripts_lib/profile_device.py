@@ -82,12 +82,13 @@ def profile_fn(fn, iters: int = 20, top: int = 25, trace_dir=None,
 def _cli():
     import argparse
     parser = argparse.ArgumentParser()
-    parser.add_argument('--what', default='dit', choices=['dit'])
+    parser.add_argument('--what', default='dit', choices=['dit', 'int8'])
     parser.add_argument('--iters', type=int, default=20)
     args = parser.parse_args()
 
     from ln3diff_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    import dataclasses
     import jax
     import jax.numpy as jnp
 
@@ -95,10 +96,15 @@ def _cli():
     from ln3diff_tpu.models.dit import DiT_TriLatent
 
     cfg = denoiser_preset('t23d-dit-l2')
+    if args.what == 'int8':
+        cfg = dataclasses.replace(cfg, exact_gelu=False)  # serving mode
     model = DiT_TriLatent(cfg)
     x = jnp.zeros((2, 32, 32, 12))
     ctx = {'crossattn': jnp.zeros((2, 77, 768))}
     v = jax.jit(model.init)(jax.random.PRNGKey(0), x, jnp.zeros((2,)), ctx)
+    if args.what == 'int8':
+        from ln3diff_tpu.ops.int8 import quantize_dit
+        model, v = quantize_dit(cfg, v, x, jnp.zeros((2,)), ctx)
     step = jax.jit(lambda v, x, t, c: model.apply(v, x, t, c))
     profile_fn(lambda: step(v, x, jnp.zeros((2,)), ctx), iters=args.iters)
 
