@@ -82,6 +82,12 @@ SMOKE_TESTS = (
     'test_multihost_stop_is_synchronized',
     'test_host_decorrelation.py::TestHostRngDecorrelated::'
     'test_host_rng_differs_by_process',
+    # int8 serving (the quantized-DiT e2e test costs ~30 s on 1 core;
+    # fast tier covers it)
+    'test_int8.py::TestInt8Ops::test_int8_dense_close_to_exact',
+    # parallel serving shard
+    'test_parallel.py::TestServingShard::'
+    'test_points_sharded_match_single_device',
     # end-to-end: wds shards -> train step
     'test_integration_wds.py::test_shards_to_train_step',
     # evaluation / io

@@ -129,6 +129,30 @@ class TestQuantizedDiT:
         assert y.shape == (2, 8, 8, 12)
         assert np.isfinite(np.asarray(y, dtype=np.float32)).all()
 
+    def test_int8_params_checkpoint_roundtrip(self, tmp_path):
+        """Quantized serving params (int8 kernels + f32 scales) must
+        round-trip through the orbax checkpoint store bitwise."""
+        from ln3diff_tpu.training.checkpoint import CheckpointManager
+
+        cfg, model, variables, (x, t, ctx) = self._build()
+        qcfg = dataclasses.replace(cfg, quantized=True)
+        qmodel = DiT_TriLatent(qcfg)
+        q_struct = jax.eval_shape(
+            lambda k: qmodel.init(k, x, t, ctx), jax.random.PRNGKey(2))
+        q_params = quantize_params_like(q_struct['params'],
+                                        variables['params'])
+
+        ckpt = CheckpointManager(str(tmp_path / 'ck'))
+        ckpt.save(1, {'params': q_params})
+        ckpt._mgr.wait_until_finished()
+        restored = ckpt.restore({'params': jax.tree_util.tree_map(
+            jnp.zeros_like, q_params)}, step=1)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(q_params),
+                jax.tree_util.tree_leaves_with_path(restored['params'])):
+            assert a.dtype == b.dtype, (pa, a.dtype, b.dtype)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_quantize_params_like_rejects_mismatched_tree(self):
         cfg, model, variables, (x, t, ctx) = self._build()
         with pytest.raises(ValueError, match='mismatch'):
