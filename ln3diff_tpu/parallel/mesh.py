@@ -120,7 +120,9 @@ def tensor_parallel_rules(params, mesh: Mesh,
         segs = set(names)
         if tp == 1 or p.size < min_size_to_shard or p.ndim < 2:
             return NamedSharding(mesh, P())
-        is_kernel = names[-1] == 'kernel'
+        # 'kernel_q' = int8-quantized serving kernels (ops/int8.py) —
+        # same (in, out) layout, same TP split
+        is_kernel = names[-1] in ('kernel', 'kernel_q')
         if is_kernel and segs & set(col_markers) \
                 and p.shape[-1] % tp == 0:
             spec = [None] * p.ndim

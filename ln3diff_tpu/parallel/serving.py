@@ -30,6 +30,23 @@ from jax.sharding import Mesh, PartitionSpec as P
 shard_map = jax.shard_map
 
 
+def tp_shard_denoiser_params(params, mesh: Mesh,
+                             min_size_to_shard: int = 2**16):
+    """Place denoiser params tensor-parallel for multi-chip SAMPLING.
+
+    The CFG-doubled denoise scan is latency-bound at tiny batch; TP over
+    the ``tensor`` axis splits every projection across chips and GSPMD
+    inserts the block all-reduces (rules: ``mesh.tensor_parallel_rules``,
+    incl. int8 ``kernel_q`` kernels).  Pass the returned tree in place of
+    ``denoiser_params`` — the pipeline's jitted sampler propagates the
+    shardings without code changes.
+    """
+    from .mesh import tensor_parallel_rules
+    return jax.device_put(
+        params, tensor_parallel_rules(params, mesh,
+                                      min_size_to_shard=min_size_to_shard))
+
+
 def shard_orbit_render(render_fn, mesh: Mesh, axis: str = 'data'):
     """Wrap ``render_fn(params, planes, cam25) -> (F, H, W, C)`` so the
     frame axis is sharded over ``axis`` of ``mesh``.

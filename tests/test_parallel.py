@@ -272,3 +272,51 @@ class TestServingShard:
         np.testing.assert_allclose(np.asarray(got_sigma),
                                    np.asarray(ref_sigma),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_tp_sharded_sampling_matches_single_device(self):
+        """TP-sharded denoiser sampling (`tp_shard_denoiser_params`):
+        the CFG DDIM scan under a tensor=8 mesh must match the
+        replicated run (GSPMD all-reduce ordering → tiny f32 noise)."""
+        from ln3diff_tpu.diffusion.gaussian import make_diffusion
+        from ln3diff_tpu.models.dit import DiT_TriLatent, DiTConfig
+        from ln3diff_tpu.parallel.serving import tp_shard_denoiser_params
+        from ln3diff_tpu.pipeline import SamplerSpec, TextTo3DPipeline
+
+        den_cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                            hidden_size=64, depth=2, num_heads=4,
+                            variant='text', context_dim=16,
+                            dtype=jnp.float32)
+        denoiser = DiT_TriLatent(den_cfg)
+        x0 = jnp.zeros((2, 8, 8, 12))
+        ctx = {'crossattn': jnp.zeros((2, 7, 16))}
+        den_vars = denoiser.init(jax.random.PRNGKey(0), x0,
+                                 jnp.zeros((2,)), ctx)
+        # perturb the zero-init projections so outputs are live
+        leaves, treedef = jax.tree_util.tree_flatten(den_vars['params'])
+        keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+        leaves = [w + 0.05 * jax.random.normal(k, w.shape, w.dtype)
+                  for w, k in zip(leaves, keys)]
+        den_vars = dict(den_vars, params=jax.tree_util.tree_unflatten(
+            treedef, leaves))
+
+        pipeline = TextTo3DPipeline(
+            lambda p, x, t, c: denoiser.apply(p, x, t, c), den_vars,
+            None, None, None, None,
+            sampler=SamplerSpec(kind='ddim', num_steps=4, cfg_scale=2.0,
+                                latent_shape=(8, 8, 12)),
+            diffusion=make_diffusion(steps=100, timestep_respacing='4'))
+        cond = {'crossattn': jnp.ones((1, 7, 16))}
+        uncond = {'crossattn': jnp.zeros((1, 7, 16))}
+        ref = pipeline.sample_latents(jax.random.PRNGKey(1), 2, cond,
+                                      uncond)
+
+        mesh = make_mesh(MeshConfig(data=1, fsdp=1, tensor=8))
+        sharded = tp_shard_denoiser_params(den_vars, mesh,
+                                           min_size_to_shard=0)
+        qkv = sharded['params']['blocks']['block']['attn']['qkv']['kernel']
+        assert 'tensor' in str(qkv.sharding.spec), qkv.sharding
+        pipeline.denoiser_params = sharded
+        got = pipeline.sample_latents(jax.random.PRNGKey(1), 2, cond,
+                                      uncond)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
