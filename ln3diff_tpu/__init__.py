@@ -32,6 +32,12 @@ _EXPORTS = {
     'RENDER_PRESETS': 'ln3diff_tpu.config',
     'RELEASE_PRESETS': 'ln3diff_tpu.config',
     'make_mesh': 'ln3diff_tpu.parallel.mesh',
+    # serving: int8 quantization + multi-chip render/sampling sharding
+    'quantize_dit': 'ln3diff_tpu.ops.int8',
+    'quantize_unet': 'ln3diff_tpu.ops.int8',
+    'shard_orbit_render': 'ln3diff_tpu.parallel.serving',
+    'shard_points_query': 'ln3diff_tpu.parallel.serving',
+    'tp_shard_denoiser_params': 'ln3diff_tpu.parallel.serving',
 }
 
 __all__ = sorted(_EXPORTS) + ['__version__']

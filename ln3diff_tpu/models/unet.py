@@ -39,15 +39,34 @@ def _norm(x, dtype, name=None, eps=1e-5):
                         name=name)(x)
 
 
+def _conv_cls(quantized: bool):
+    """nn.Conv, or the W8A8 int8 drop-in (``ops/int8.py``) for the
+    opt-in quantized serving mode (weights per-out-channel, activations
+    per-sample dynamic)."""
+    if quantized:
+        from ..ops.int8 import Int8Conv
+        return Int8Conv
+    return nn.Conv
+
+
+def _dense_cls(quantized: bool):
+    if quantized:
+        from ..ops.int8 import Int8Dense
+        return Int8Dense
+    return nn.Dense
+
+
 class ResBlock(nn.Module):
     out_channels: int
     use_scale_shift_norm: bool = True
     up: bool = False
     down: bool = False
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb):
+        conv = _conv_cls(self.quantized)
         in_ch = x.shape[-1]
         h = _norm(x, self.dtype, 'in_norm')
         h = nn.silu(h)
@@ -62,8 +81,8 @@ class ResBlock(nn.Module):
 
         h = resample(h)
         x = resample(x)
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
-                    name='in_conv')(h)
+        h = conv(self.out_channels, (3, 3), dtype=self.dtype,
+                 name='in_conv')(h)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm
@@ -77,12 +96,12 @@ class ResBlock(nn.Module):
         else:
             h = h + emb_out
             h = nn.silu(_norm(h, self.dtype, 'out_norm'))
-        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
-                    kernel_init=nn.initializers.zeros, name='out_conv')(h)
+        h = conv(self.out_channels, (3, 3), dtype=self.dtype,
+                 kernel_init=nn.initializers.zeros, name='out_conv')(h)
 
         if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name='skip')(x)
+            x = conv(self.out_channels, (1, 1), dtype=self.dtype,
+                     name='skip')(x)
         return x + h
 
 
@@ -90,39 +109,43 @@ class Downsample(nn.Module):
     """Strided-conv downsample (reference ``Downsample`` with
     ``use_conv=True``): 3x3 stride-2 conv with torch's (1,1) padding."""
     out_channels: int
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                       padding=((1, 1), (1, 1)), dtype=self.dtype,
-                       name='op')(x)
+        return _conv_cls(self.quantized)(
+            self.out_channels, (3, 3), strides=(2, 2),
+            padding=((1, 1), (1, 1)), dtype=self.dtype, name='op')(x)
 
 
 class Upsample(nn.Module):
     """Nearest x2 + 3x3 conv (reference ``Upsample``)."""
     out_channels: int
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, 2 * H, 2 * W, C), 'nearest')
-        return nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
-                       name='conv')(x)
+        return _conv_cls(self.quantized)(
+            self.out_channels, (3, 3), dtype=self.dtype, name='conv')(x)
 
 
 class SelfAttention2D(nn.Module):
     """ADM AttentionBlock (used when ``use_spatial_transformer=False``)."""
     num_head_channels: int = 64
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        conv = _conv_cls(self.quantized)
         heads = max(1, C // self.num_head_channels)
         h = _norm(x, self.dtype, 'norm')
-        qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name='qkv')(h)
+        qkv = conv(3 * C, (1, 1), dtype=self.dtype, name='qkv')(h)
         q, k, v = jnp.split(qkv.reshape(B, H * W, 3 * C), 3, axis=-1)
 
         def split_heads(t):
@@ -131,8 +154,8 @@ class SelfAttention2D(nn.Module):
         out = jax.nn.dot_product_attention(split_heads(q), split_heads(k),
                                            split_heads(v))
         out = out.reshape(B, H, W, C)
-        out = nn.Conv(C, (1, 1), dtype=self.dtype,
-                      kernel_init=nn.initializers.zeros, name='proj')(out)
+        out = conv(C, (1, 1), dtype=self.dtype,
+                   kernel_init=nn.initializers.zeros, name='proj')(out)
         return x + out
 
 
@@ -140,25 +163,27 @@ class TransformerBlock(nn.Module):
     """LDM ``BasicTransformerBlock``: self-attn, cross-attn, GEGLU ff
     (``ldm/modules/attention.py:311-341``, ``gated_ff=True``)."""
     num_heads: int
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, context):
         B, L, C = h.shape
+        dense = _dense_cls(self.quantized)
         head_dim = C // self.num_heads
 
         def mha(q_in, kv_in, name):
-            q = nn.Dense(C, use_bias=False, dtype=self.dtype,
-                         name=f'{name}_q')(q_in)
-            k = nn.Dense(C, use_bias=False, dtype=self.dtype,
-                         name=f'{name}_k')(kv_in)
-            v = nn.Dense(C, use_bias=False, dtype=self.dtype,
-                         name=f'{name}_v')(kv_in)
+            q = dense(C, use_bias=False, dtype=self.dtype,
+                      name=f'{name}_q')(q_in)
+            k = dense(C, use_bias=False, dtype=self.dtype,
+                      name=f'{name}_k')(kv_in)
+            v = dense(C, use_bias=False, dtype=self.dtype,
+                      name=f'{name}_v')(kv_in)
             out = jax.nn.dot_product_attention(
                 q.reshape(B, -1, self.num_heads, head_dim),
                 k.reshape(B, -1, self.num_heads, head_dim),
                 v.reshape(B, -1, self.num_heads, head_dim))
-            return nn.Dense(C, dtype=self.dtype, name=f'{name}_out')(
+            return dense(C, dtype=self.dtype, name=f'{name}_out')(
                 out.reshape(B, -1, C))
 
         hn = nn.LayerNorm(dtype=self.dtype, name='norm1')(h)
@@ -168,10 +193,10 @@ class TransformerBlock(nn.Module):
         h = h + mha(hn, kv, 'attn2')
         hn = nn.LayerNorm(dtype=self.dtype, name='norm3')(h)
         # GEGLU: proj to 2*(4C), gate with exact gelu
-        ff = nn.Dense(8 * C, dtype=self.dtype, name='ff_proj')(hn)
+        ff = dense(8 * C, dtype=self.dtype, name='ff_proj')(hn)
         val, gate = jnp.split(ff, 2, axis=-1)
         ff = val * nn.gelu(gate, approximate=False)
-        return h + nn.Dense(C, dtype=self.dtype, name='ff_out')(ff)
+        return h + dense(C, dtype=self.dtype, name='ff_out')(ff)
 
 
 class SpatialTransformer(nn.Module):
@@ -182,20 +207,24 @@ class SpatialTransformer(nn.Module):
     num_heads: int
     context_dim: int
     depth: int = 1
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context):
         B, H, W, C = x.shape
+        conv = _conv_cls(self.quantized)
         h = _norm(x, self.dtype, 'norm', eps=1e-6)
-        h = nn.Conv(C, (1, 1), dtype=self.dtype, name='proj_in')(h)
+        h = conv(C, (1, 1), dtype=self.dtype, name='proj_in')(h)
         h = h.reshape(B, H * W, C)
         for d in range(self.depth):
-            h = TransformerBlock(self.num_heads, dtype=self.dtype,
+            h = TransformerBlock(self.num_heads,
+                                 quantized=self.quantized,
+                                 dtype=self.dtype,
                                  name=f'block_{d}')(h, context)
         h = h.reshape(B, H, W, C)
-        h = nn.Conv(C, (1, 1), dtype=self.dtype,
-                    kernel_init=nn.initializers.zeros, name='proj_out')(h)
+        h = conv(C, (1, 1), dtype=self.dtype,
+                 kernel_init=nn.initializers.zeros, name='proj_out')(h)
         return x + h
 
 
@@ -217,6 +246,10 @@ class UNetConfig:
     roll_out: bool = True
     mixed_prediction: bool = True
     mixing_logit_init: float = -6.0
+    # serving mode: W8A8 int8 ResBlock/attention/transformer compute
+    # (ops/int8.py); conv_in/conv_out and the time MLP stay bf16.
+    # Opt-in -- the parity default stays bf16.
+    quantized: bool = False
     dtype: Any = jnp.bfloat16
 
 
@@ -230,10 +263,12 @@ class UNetModel(nn.Module):
                 else max(1, ch // cfg.num_head_channels)
             return SpatialTransformer(heads, cfg.context_dim,
                                       cfg.transformer_depth,
+                                      quantized=cfg.quantized,
                                       dtype=cfg.dtype, name=name)
         return SelfAttention2D(
             cfg.num_head_channels if cfg.num_head_channels > 0 else
-            max(1, ch // cfg.num_heads), dtype=cfg.dtype, name=name)
+            max(1, ch // cfg.num_heads), quantized=cfg.quantized,
+            dtype=cfg.dtype, name=name)
 
     @nn.compact
     def __call__(self, x, timesteps, context=None, control=None):
@@ -280,7 +315,8 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(cfg.channel_mult):
             for i in range(cfg.num_res_blocks):
                 ch = cfg.model_channels * mult
-                h = ResBlock(ch, cfg.use_scale_shift_norm, dtype=dt,
+                h = ResBlock(ch, cfg.use_scale_shift_norm,
+                             quantized=cfg.quantized, dtype=dt,
                              name=f'down_{level}_res_{i}')(h, emb)
                 if ds in cfg.attention_resolutions:
                     h = self._attn(ds, ch, f'down_{level}_attn_{i}')(
@@ -290,21 +326,23 @@ class UNetModel(nn.Module):
             if level != len(cfg.channel_mult) - 1:
                 if cfg.resblock_updown:
                     h = ResBlock(ch, cfg.use_scale_shift_norm, down=True,
-                                 dtype=dt,
+                                 quantized=cfg.quantized, dtype=dt,
                                  name=f'down_{level}_downsample')(h, emb)
                 else:
-                    h = Downsample(ch, dtype=dt,
+                    h = Downsample(ch, quantized=cfg.quantized, dtype=dt,
                                    name=f'down_{level}_downsample')(h)
                 hs.append(h)
                 ds *= 2
 
         # middle
-        h = ResBlock(ch, cfg.use_scale_shift_norm, dtype=dt,
+        h = ResBlock(ch, cfg.use_scale_shift_norm,
+                     quantized=cfg.quantized, dtype=dt,
                      name='mid_res_1')(h, emb)
         h = self._attn(ds, ch, 'mid_attn')(h, context) \
             if cfg.use_spatial_transformer else \
             self._attn(ds, ch, 'mid_attn')(h)
-        h = ResBlock(ch, cfg.use_scale_shift_norm, dtype=dt,
+        h = ResBlock(ch, cfg.use_scale_shift_norm,
+                     quantized=cfg.quantized, dtype=dt,
                      name='mid_res_2')(h, emb)
 
         if control is not None:
@@ -317,7 +355,8 @@ class UNetModel(nn.Module):
             for i in range(cfg.num_res_blocks + 1):
                 ch = cfg.model_channels * cfg.channel_mult[level]
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(ch, cfg.use_scale_shift_norm, dtype=dt,
+                h = ResBlock(ch, cfg.use_scale_shift_norm,
+                             quantized=cfg.quantized, dtype=dt,
                              name=f'up_{level}_res_{i}')(h, emb)
                 if ds in cfg.attention_resolutions:
                     h = self._attn(ds, ch, f'up_{level}_attn_{i}')(
@@ -326,10 +365,11 @@ class UNetModel(nn.Module):
                 if level and i == cfg.num_res_blocks:
                     if cfg.resblock_updown:
                         h = ResBlock(ch, cfg.use_scale_shift_norm, up=True,
-                                     dtype=dt,
+                                     quantized=cfg.quantized, dtype=dt,
                                      name=f'up_{level}_upsample')(h, emb)
                     else:
-                        h = Upsample(ch, dtype=dt,
+                        h = Upsample(ch, quantized=cfg.quantized,
+                                     dtype=dt,
                                      name=f'up_{level}_upsample')(h)
                     ds //= 2
 

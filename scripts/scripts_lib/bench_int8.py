@@ -32,12 +32,25 @@ from ln3diff_tpu.ops.int8 import quantize_params_like
 
 
 def build(quantized: bool, variables=None, fused_attention: bool = False):
-    cfg = dit_registry('DiT-L/2', exact_gelu=False, quantized=quantized,
-                       fused_attention=fused_attention)
-    model = DiT_TriLatent(cfg)
-    x = jnp.zeros((2, 32, 32, 12), jnp.float32)
-    t = jnp.zeros((2,), jnp.int32)
-    ctx = {'crossattn': jnp.zeros((2, 77, 768), jnp.float32)}
+    if 'unet' in sys.argv[2:]:
+        # ShapeNet/FFHQ LSGM U-Net release arch (320ch, roll_out)
+        import dataclasses
+
+        from ln3diff_tpu.config import denoiser_preset
+        from ln3diff_tpu.models.unet import UNetModel
+        cfg = dataclasses.replace(denoiser_preset('shapenet-unet'),
+                                  quantized=quantized)
+        model = UNetModel(cfg)
+        x = jnp.zeros((2, 32, 32, 12), jnp.float32)
+        t = jnp.zeros((2,), jnp.int32)
+        ctx = jnp.zeros((2, 77, 768), jnp.float32)
+    else:
+        cfg = dit_registry('DiT-L/2', exact_gelu=False, quantized=quantized,
+                           fused_attention=fused_attention)
+        model = DiT_TriLatent(cfg)
+        x = jnp.zeros((2, 32, 32, 12), jnp.float32)
+        t = jnp.zeros((2,), jnp.int32)
+        ctx = {'crossattn': jnp.zeros((2, 77, 768), jnp.float32)}
     if variables is None:
         variables = jax.jit(lambda k: model.init(k, x, t, ctx))(
             jax.random.PRNGKey(0))
@@ -47,7 +60,7 @@ def build(quantized: bool, variables=None, fused_attention: bool = False):
 def scan_steps(model, variables, args, n_steps: int):
     x0, _, ctx = args
     params = variables['params']
-    constants = {'constants': variables['constants']}
+    constants = {k: v for k, v in variables.items() if k != 'params'}
 
     def fn(params, x0):
         def body(x, i):
@@ -99,9 +112,9 @@ def main():
     q_params = jax.jit(
         lambda p: quantize_params_like(q_struct['params'], p))(
             variables['params'])
+    extras = {k: v for k, v in variables.items() if k != 'params'}
     qfn, q_params, x0 = scan_steps(
-        qmodel, {'params': q_params, 'constants': variables['constants']},
-        args, n_steps)
+        qmodel, {'params': q_params, **extras}, args, n_steps)
     qwall = time_scan(qfn, q_params, x0)
     print(f'int8:  {qwall:.3f}s for {n_steps} steps '
           f'= {1e3 * qwall / n_steps:.2f} ms/step '
@@ -111,8 +124,7 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 12))
     t = jnp.full((2,), 100, jnp.int32)
     y = model.apply(variables, x, t, args[2])
-    yq = qmodel.apply({'params': q_params,
-                       'constants': variables['constants']}, x, t, args[2])
+    yq = qmodel.apply({'params': q_params, **extras}, x, t, args[2])
     rel = float(jnp.linalg.norm((yq - y).astype(jnp.float32))
                 / jnp.linalg.norm(y.astype(jnp.float32)))
     print(f'speedup: {wall / qwall:.3f}x; single-forward rel dev {rel:.4f}',

@@ -156,11 +156,19 @@ def main():
     # halves the weight HBM read, bitwise identical)
     from ln3diff_tpu.utils.misc import cast_floating
     den_vars = cast_floating(den_vars, jnp.bfloat16)
-    if args.int8_dit and not is_lsgm_unet:
-        # quantize AFTER checkpoint load: trained bf16 kernels → int8
-        from ln3diff_tpu.ops.int8 import quantize_dit
-        denoiser, den_vars = quantize_dit(den_cfg, den_vars, x0, t0, ctx0)
-        logger.log('int8 DiT serving: block projections quantized W8A8')
+    if args.int8_dit:
+        if is_lsgm_unet:
+            # measured SLOWER on v5e (6.83 bf16 vs 7.20 ms/step int8 —
+            # TPU_PERF_NOTES); ops.int8.quantize_unet exists for other
+            # targets, but the CLI keeps the U-Net bf16.
+            logger.log('--int8_dit: U-Net int8 measured slower on v5e; '
+                       'keeping bf16')
+        else:
+            # quantize AFTER checkpoint load: trained bf16 kernels → int8
+            from ln3diff_tpu.ops.int8 import quantize_dit
+            denoiser, den_vars = quantize_dit(den_cfg, den_vars, x0, t0,
+                                              ctx0)
+            logger.log('int8 DiT serving: projections quantized W8A8')
     if args.vae_ckpt:
         vae_vars = {'params': load_numpy_checkpoint(
             args.vae_ckpt, vae_vars['params']),

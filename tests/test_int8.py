@@ -11,8 +11,8 @@ import numpy as np
 import pytest
 
 from ln3diff_tpu.models.dit import DiT_TriLatent, DiTConfig
-from ln3diff_tpu.ops.int8 import (int8_dense, quantize_params_like,
-                                  quantize_weight)
+from ln3diff_tpu.ops.int8 import (Int8Conv, int8_dense,
+                                  quantize_params_like, quantize_weight)
 
 
 class TestInt8Ops:
@@ -59,6 +59,88 @@ class TestInt8Ops:
         rel = np.linalg.norm(np.asarray(y - ref), axis=1) \
             / np.linalg.norm(np.asarray(ref), axis=1)
         assert rel.max() < 0.02, rel
+
+
+class TestInt8Conv:
+
+    def test_conv_close_to_exact(self):
+        import flax.linen as nn
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(k1, (2, 8, 8, 16))
+        ref_conv = nn.Conv(12, (3, 3), dtype=jnp.float32)
+        variables = ref_conv.init(k2, x)
+        ref = ref_conv.apply(variables, x)
+
+        w_q, scale = quantize_weight(variables['params']['kernel'],
+                                     all_but_last=True)
+        assert scale.shape == (12,)
+        qconv = Int8Conv(12, (3, 3), dtype=jnp.float32)
+        y = qconv.apply({'params': {
+            'kernel_q': w_q, 'scale': scale,
+            'bias': variables['params']['bias']}}, x)
+        rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.03, rel
+
+    def test_conv_strided_padded(self):
+        """The Downsample shape: 3x3 stride-2 torch-style (1,1) pad."""
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+        conv = Int8Conv(6, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), dtype=jnp.float32)
+        v = conv.init(jax.random.PRNGKey(2), x)
+        y = conv.apply(v, x)
+        assert y.shape == (1, 4, 4, 6)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+class TestQuantizedUNet:
+
+    def _build(self):
+        from ln3diff_tpu.models.unet import UNetConfig, UNetModel
+        cfg = UNetConfig(in_channels=4, model_channels=16, out_channels=4,
+                         num_res_blocks=1, attention_resolutions=(2,),
+                         channel_mult=(1, 2), num_heads=2, context_dim=16,
+                         roll_out=True, dtype=jnp.float32)
+        model = UNetModel(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 12))
+        t = jnp.asarray([3, 70])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 16))
+        variables = model.init(jax.random.PRNGKey(2), x, t, ctx)
+        # conv_out / zero-init projections would make the outputs exactly
+        # 0 — perturb every param so the comparison is live
+        leaves, treedef = jax.tree_util.tree_flatten(variables['params'])
+        keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+        leaves = [w + 0.05 * jax.random.normal(k, w.shape, w.dtype)
+                  for w, k in zip(leaves, keys)]
+        variables = dict(variables, params=jax.tree_util.tree_unflatten(
+            treedef, leaves))
+        return cfg, model, variables, (x, t, ctx)
+
+    def test_quantized_matches_bf16_within_tolerance(self):
+        from ln3diff_tpu.ops.int8 import quantize_unet
+        cfg, model, variables, (x, t, ctx) = self._build()
+        y_ref = model.apply(variables, x, t, ctx)
+        qmodel, qvars = quantize_unet(cfg, variables, x, t, ctx, seed=2)
+        y_q = qmodel.apply(qvars, x, t, ctx)
+        assert y_q.shape == y_ref.shape
+        rel = float(jnp.linalg.norm((y_q - y_ref).astype(jnp.float32))
+                    / jnp.linalg.norm(y_ref.astype(jnp.float32)))
+        assert rel < 0.15, rel
+        assert np.isfinite(np.asarray(y_q, dtype=np.float32)).all()
+
+    def test_quantized_param_tree(self):
+        from ln3diff_tpu.ops.int8 import quantize_unet
+        cfg, model, variables, (x, t, ctx) = self._build()
+        qmodel, qvars = quantize_unet(cfg, variables, x, t, ctx, seed=2)
+        p = qvars['params']
+        assert p['down_0_res_0']['in_conv']['kernel_q'].dtype == jnp.int8
+        assert p['down_0_res_0']['in_conv']['scale'].shape == (16,)
+        # I/O convs and time MLP stay unquantized
+        assert 'kernel' in p['conv_in'] and 'kernel' in p['conv_out']
+        assert 'kernel' in p['time_fc1']
+        # mixing_logit copied verbatim
+        np.testing.assert_array_equal(
+            np.asarray(p['mixing_logit']),
+            np.asarray(variables['params']['mixing_logit']))
 
 
 class TestQuantizedDiT:
