@@ -90,8 +90,13 @@ def _partial_result(phase_walls, dit_sps=None, mrays=None):
         'metric': 'text_to_mesh_wall_clock',
         'value': round(total, 2),
         'unit': unit,
+        # the serial staged sum is an UPPER bound of the true wall, so
+        # its vs_baseline understates performance — safe to report; but
+        # it stays flagged partial even with all phases in: only a real
+        # end-to-end warm run may present as the full result
         'vs_baseline': 0.0 if missing else round(BASELINE_S / total, 3),
-        'partial': bool(missing),
+        'partial': True,
+        'staged': True,
         'phases': {k: round(v, 3) for k, v in phase_walls.items()},
     }
     if dit_sps is not None:
@@ -236,7 +241,13 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
     # upper bound — the full run overlaps all host stages with render)
     from ln3diff_tpu.render.mesh import dispatch_vertex_colors, march_grid
     trace('phase mesh: compile')
-    jax.block_until_ready(pipeline.dispatch_mesh_sigma(planes, MESH_GRID))
+    # warm ALL the mesh-phase programs (σ query AND the vertex-color
+    # chunked map — same σ field → same bucketed vert count → same
+    # compiled program) so the timed pass is steady-state only
+    sg_warm = np.asarray(pipeline.dispatch_mesh_sigma(planes, MESH_GRID))
+    verts_warm, _ = march_grid(sg_warm, MESH_GRID)
+    dispatch_vertex_colors(pipeline._mesh_decoder(planes), verts_warm,
+                           as_uint8=True)
 
     def mesh_serial():
         sg = np.asarray(pipeline.dispatch_mesh_sigma(planes, MESH_GRID))

@@ -702,6 +702,50 @@ def convert_mapping_network(sd: Mapping, num_layers: int = 8,
     return out
 
 
+def convert_eg3d_generator(sd: Mapping, prefix: str = 'G_ema.'):
+    """Reference EG3D ``TriPlaneGenerator`` (``nsr/triplane.py:29-300``:
+    ``backbone`` = StyleGAN2 mapping+synthesis, ``decoder`` = OSG) →
+    our ``models/eg3d.py`` trees.  Input: the flat torch-named dict a
+    legacy ``.pkl`` yields via ``utils/legacy_pkl.legacy_pkl_to_npz``
+    (default net key ``G_ema``).  Returns ``(params, stats)`` — the
+    tracked ``w_avg`` goes to ``stats['mapping']`` (truncation ψ<1
+    reads it at apply time).
+
+    Note the documented per-block-w deviation (``models/eg3d.py``): our
+    blocks consume one w per block; with a single (non-style-mixed) w
+    the mapping broadcasts identical rows, so conversion is faithful for
+    the warm-up teacher use (ψ applies uniformly without a cutoff).
+    """
+    p = prefix
+    syn = f'{p}backbone.synthesis.'
+    # torch const is (C, H, W) → ours (H, W, C)
+    params_syn = {
+        'const': _np(sd[f'{syn}b4.const']).transpose(1, 2, 0),
+        'b4_conv1': _sg2_layer(sd, f'{syn}b4.conv1'),
+        'b4_torgb': _sg2_layer(sd, f'{syn}b4.torgb', torgb=True),
+    }
+    res = 8
+    while f'{syn}b{res}.conv0.weight' in sd:
+        params_syn[f'b{res}'] = {
+            'conv0': _sg2_layer(sd, f'{syn}b{res}.conv0'),
+            'conv1': _sg2_layer(sd, f'{syn}b{res}.conv1'),
+            'torgb': _sg2_layer(sd, f'{syn}b{res}.torgb', torgb=True),
+        }
+        res *= 2
+    mp = f'{p}backbone.mapping.'
+    num_layers = sum(1 for k in sd
+                     if k.startswith(f'{mp}fc') and k.endswith('.weight'))
+    mapping = convert_mapping_network(sd, num_layers=num_layers, prefix=mp)
+    w_avg = mapping.pop('_w_avg', None)
+    params = {
+        'synthesis': params_syn,
+        'mapping': mapping,
+        'decoder': convert_osg_decoder(sd, prefix=f'{p}decoder.net'),
+    }
+    stats = {'mapping': {'w_avg': w_avg}} if w_avg is not None else {}
+    return params, stats
+
+
 def convert_stylegan3_synthesis(sd: Mapping, prefix: str = ''):
     """StyleGAN3 ``SynthesisNetwork`` (``nsr/networks_stylegan3.py:517``)
     → our ``SynthesisNetworkSG3`` trees.

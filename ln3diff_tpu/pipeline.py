@@ -283,11 +283,16 @@ class TextTo3DPipeline:
                  mesh_grid: int = 192,
                  render_resolution: Optional[int] = None,
                  video_uint8: bool = False,
-                 cameras: Optional[np.ndarray] = None):
+                 cameras: Optional[np.ndarray] = None,
+                 mesh_smooth: bool = True):
         """Full run.  ``video_uint8``: return the orbit as host uint8
         frames (serving format; reference writes uint8 mp4 —
         ``train_util_diffusion.py:208-249``) — quarters the device→host
-        readback, which dominates on tunneled chips."""
+        readback, which dominates on tunneled chips.
+
+        ``mesh_smooth`` (serving default True): on-device 3³ σ denoise
+        before marching; pass False for the reference-parity raw field
+        (matches ``export_mesh``'s default)."""
         from .render.mesh import (dispatch_vertex_colors, export_obj,
                                   export_ply, march_grid, rotate_x)
 
@@ -318,7 +323,8 @@ class TextTo3DPipeline:
         # chews through in-flight frames instead of leaving it idle
         # (march alone is 0.1–1 s of pure host time).
         from .render.mesh import count_crossing_cells
-        sigma_grid = self.dispatch_mesh_sigma(planes, mesh_grid)
+        sigma_grid = self.dispatch_mesh_sigma(planes, mesh_grid,
+                                              smooth=mesh_smooth)
         n_cross = count_crossing_cells(sigma_grid, mesh_grid)  # in-flight
         head = min(max(num_frames // 4, 1), num_frames)
         v1 = self.render_orbit(planes, num_frames,

@@ -114,9 +114,16 @@ class EG3DWarmupTrainer:
                                         depth_resolution_importance=8)
         # keep the FULL teacher variables: truncation ψ<1 reads the
         # tracked w_avg from the 'stats' collection at apply time
-        self.teacher_variables = jax.jit(
-            lambda k: self.gen.init(k, z, cam, init_opts, 8, c))(k_gen)
-        if teacher_params is not None:
+        if teacher_params is None:
+            self.teacher_variables = jax.jit(
+                lambda k: self.gen.init(k, z, cam, init_opts, 8, c))(k_gen)
+        else:
+            # caller brings the params — build only the structure (zeros
+            # w_avg etc.) without paying the full generator init
+            shapes = jax.eval_shape(
+                lambda k: self.gen.init(k, z, cam, init_opts, 8, c), k_gen)
+            self.teacher_variables = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
             self.teacher_params = teacher_params
 
         imgs = jnp.zeros((B, self.enc_res, self.enc_res, self.enc_ch))
@@ -139,6 +146,20 @@ class EG3DWarmupTrainer:
     @teacher_params.setter
     def teacher_params(self, params):
         self.teacher_variables = dict(self.teacher_variables, params=params)
+
+    def load_teacher_state_dict(self, flat_sd, prefix: str = 'G_ema.'):
+        """Install a REAL teacher from a torch-named flat state dict —
+        the output of ``utils/legacy_pkl.legacy_pkl_to_npz`` on a legacy
+        EG3D ``.pkl``.  Runs the torch→jax converter and installs both
+        the params and the tracked ``w_avg`` (without it, ψ<1 would
+        truncate toward the zero vector instead of the teacher's mean)."""
+        from ..conditioning.convert_ln3diff import convert_eg3d_generator
+        params, stats = convert_eg3d_generator(flat_sd, prefix)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        tv = dict(self.teacher_variables, params=params)
+        if stats:
+            tv['stats'] = jax.tree_util.tree_map(jnp.asarray, stats)
+        self.teacher_variables = tv
 
     # -- host-side camera sampling ------------------------------------------
 

@@ -45,7 +45,11 @@ def enable_compilation_cache(path: str | None = None):
     except OSError:
         path = os.path.join(os.path.expanduser('~'), '.cache',
                             'ln3diff_tpu', 'xla_cache')
-        os.makedirs(path, exist_ok=True)
+        try:
+            os.makedirs(path, exist_ok=True)
+        except OSError:
+            return None   # repo AND $HOME unwritable: run cache-less
+                          # rather than crash every entry point
     try:
         jax.config.update('jax_compilation_cache_dir', path)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

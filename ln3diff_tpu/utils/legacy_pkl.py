@@ -80,8 +80,38 @@ def _reconstruct_capture(meta):
     return PersistentObj(meta)
 
 
-_TORCH_PREFIXES = ('torch.', 'torch_utils.distributed', 'collections',
-                   'numpy', 'builtins', '_codecs')
+# Exact (module, name) pairs the REAL import path is allowed for — the
+# specific reconstruction callables torch/numpy tensor deserialization
+# needs, nothing else.  A prefix allowlist (the first cut of this file)
+# admitted all of ``builtins`` — i.e. ``exec``/``eval`` via a REDUCE
+# opcode — which would defeat the module's no-code-execution guarantee
+# for untrusted pickles.
+_ALLOWED_GLOBALS = {
+    ('collections', 'OrderedDict'),
+    ('_codecs', 'encode'),
+    ('torch._utils', '_rebuild_tensor'),
+    ('torch._utils', '_rebuild_tensor_v2'),
+    ('torch._utils', '_rebuild_parameter'),
+    ('torch.storage', '_load_from_bytes'),
+    ('numpy', 'ndarray'),
+    ('numpy', 'dtype'),
+    ('numpy.core.multiarray', '_reconstruct'),
+    ('numpy.core.multiarray', 'scalar'),
+    ('numpy._core.multiarray', '_reconstruct'),
+    ('numpy._core.multiarray', 'scalar'),
+}
+# torch module attributes: storage classes (FloatStorage, ...), dtype
+# singletons (torch.float32, ...), Size/device — data holders only.
+_TORCH_DTYPES = frozenset(
+    f'{base}{bits}' for base in ('int', 'uint') for bits in
+    (8, 16, 32, 64)) | {
+    'float16', 'float32', 'float64', 'bfloat16', 'bool',
+    'complex64', 'complex128'}
+
+
+def _torch_attr_allowed(name: str) -> bool:
+    return name.endswith('Storage') or name in _TORCH_DTYPES \
+        or name in ('Size', 'device')
 
 
 class _StubUnpickler(pickle.Unpickler):
@@ -90,8 +120,9 @@ class _StubUnpickler(pickle.Unpickler):
             return _reconstruct_capture
         if name == 'EasyDict':
             return _EasyDictStub
-        if module == 'torch' or module.startswith(_TORCH_PREFIXES):
-            # real torch tensor/storage reconstruction + stdlib types
+        if (module, name) in _ALLOWED_GLOBALS or \
+                (module == 'torch' and _torch_attr_allowed(name)):
+            # real torch tensor/storage reconstruction + data types
             return super().find_class(module, name)
         return type(name, (_StubBase,), {'__module__': module})
 

@@ -105,7 +105,9 @@ def main():
           f'= {1e3 * wall / n_steps:.2f} ms/step '
           f'({n_steps / wall:.1f} steps/s)', flush=True)
 
-    qmodel, qcfg, _, _ = build(True,
+    # reuse the bf16 variables — build(True, variables=...) skips a full
+    # (minutes-cold) quantized-init compile whose output we'd discard
+    qmodel, qcfg, _, _ = build(True, variables=variables,
                                fused_attention='fused' in sys.argv[2:])
     q_struct = jax.eval_shape(
         lambda k: qmodel.init(k, *args[:2], args[2]), jax.random.PRNGKey(0))

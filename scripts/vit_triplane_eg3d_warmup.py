@@ -69,10 +69,19 @@ def main(argv=None):
                                 render_opts=render_opts,
                                 seed=args.seed, model=model)
     if args.teacher_ckpt:
-        # npz from legacy_pkl_to_npz.py; the random-init teacher pytree
-        # is the structure template
-        trainer.teacher_params = load_numpy_checkpoint(
-            args.teacher_ckpt, trainer.teacher_params)
+        import numpy as np
+        data = dict(np.load(args.teacher_ckpt))
+        if any(k.startswith('G_ema.') or k.startswith('G.')
+               for k in data):
+            # torch-named flat dict from legacy_pkl_to_npz.py — run the
+            # torch→jax converter (params + tracked w_avg)
+            prefix = 'G_ema.' if any(k.startswith('G_ema.')
+                                     for k in data) else 'G.'
+            trainer.load_teacher_state_dict(data, prefix=prefix)
+        else:
+            # jax-tree npz (save_numpy_checkpoint of a prior teacher)
+            trainer.teacher_params = load_numpy_checkpoint(
+                args.teacher_ckpt, trainer.teacher_params)
         logger.log(f'loaded teacher params from {args.teacher_ckpt}')
     ckpt = CheckpointManager(os.path.join(args.outdir, 'ckpt'))
     state = trainer.run_loop(num_steps=args.total_steps, ckpt=ckpt,

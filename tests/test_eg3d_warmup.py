@@ -44,6 +44,49 @@ def tiny_trainer(**warm_kw):
                              seed=0)
 
 
+def _torch_flat_from_variables(variables, prefix='G_ema.'):
+    """Inverse of ``convert_eg3d_generator``: emit the torch-named flat
+    dict a reference EG3D pickle extracts to (layout oracle for the
+    converter test)."""
+    flat = {}
+    p = variables['params']
+    syn = p['synthesis']
+    flat[f'{prefix}backbone.synthesis.b4.const'] = \
+        np.transpose(np.asarray(syn['const']), (2, 0, 1))
+
+    def layer(dst, src, torgb=False):
+        flat[f'{dst}.weight'] = np.transpose(np.asarray(src['weight']),
+                                             (3, 2, 0, 1))
+        flat[f'{dst}.bias'] = np.asarray(src['bias'])
+        flat[f'{dst}.affine.weight'] = \
+            np.asarray(src['affine']['kernel']).T
+        flat[f'{dst}.affine.bias'] = np.asarray(src['affine']['bias'])
+        if not torgb:
+            flat[f'{dst}.noise_strength'] = \
+                np.asarray(src['noise_strength'])
+            flat[f'{dst}.noise_const'] = np.asarray(src['noise_const'])
+
+    layer(f'{prefix}backbone.synthesis.b4.conv1', syn['b4_conv1'])
+    layer(f'{prefix}backbone.synthesis.b4.torgb', syn['b4_torgb'],
+          torgb=True)
+    for name, sub in syn.items():
+        if isinstance(sub, dict) and 'conv0' in sub:
+            for c in ('conv0', 'conv1'):
+                layer(f'{prefix}backbone.synthesis.{name}.{c}', sub[c])
+            layer(f'{prefix}backbone.synthesis.{name}.torgb',
+                  sub['torgb'], torgb=True)
+    for k, v in p['mapping'].items():
+        flat[f'{prefix}backbone.mapping.{k}.weight'] = \
+            np.asarray(v['kernel']).T
+        flat[f'{prefix}backbone.mapping.{k}.bias'] = np.asarray(v['bias'])
+    for i, k in ((0, 'EqualDense_0'), (2, 'EqualDense_1')):
+        flat[f'{prefix}decoder.net.{i}.weight'] = \
+            np.asarray(p['decoder'][k]['kernel']).T
+        flat[f'{prefix}decoder.net.{i}.bias'] = \
+            np.asarray(p['decoder'][k]['bias'])
+    return flat
+
+
 class TestEG3DWarmup:
 
     def test_smooth_l1_matches_torch_def(self):
@@ -91,6 +134,42 @@ class TestEG3DWarmup:
         assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
         assert gap1 < gap0, (gap0, gap1)
         assert np.isfinite(losses).all()
+
+    def test_load_real_teacher_state_dict(self):
+        """--teacher_ckpt flow: a torch-named flat state dict (the
+        legacy_pkl_to_npz output layout) converts into the generator's
+        exact param structure, and the tracked w_avg lands in 'stats'
+        (without it ψ<1 truncates toward zero)."""
+        tr = tiny_trainer()
+        src = tr.teacher_variables
+        flat = _torch_flat_from_variables(src)
+        w_dim = tr.gen_cfg.w_dim
+        flat['G_ema.backbone.mapping.w_avg'] = \
+            np.full((w_dim,), 0.5, np.float32)
+
+        tr2 = tiny_trainer()
+        # scramble so equality below proves the load, not the seed
+        tr2.teacher_params = jax.tree_util.tree_map(
+            lambda w: w * 0 + 1.0, tr2.teacher_params)
+        tr2.load_teacher_state_dict(flat)
+
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(src['params']),
+                jax.tree_util.tree_leaves_with_path(
+                    tr2.teacher_variables['params'])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, err_msg=str(pa))
+        np.testing.assert_allclose(
+            np.asarray(tr2.teacher_variables['stats']['mapping']['w_avg']),
+            0.5)
+
+        # ψ<1 teacher forward runs against the loaded variables
+        cam = jnp.asarray(tr2._sample_cameras(1))
+        out = tr2.gen.apply(tr2.teacher_variables,
+                            jnp.zeros((1, tr2.gen_cfg.z_dim)), cam,
+                            tr2.opts, 8, jnp.zeros((1, tr2.gen_cfg.c_dim)),
+                            truncation_psi=0.7)
+        assert np.isfinite(np.asarray(out['image_raw'])).all()
 
     def test_run_loop_with_preemption_guard(self, tmp_path):
         """run_loop honors the preemption guard and checkpoints."""

@@ -65,6 +65,36 @@ class TestLegacyPklExtractor:
         assert 'class Net' in obj.meta['module_src'] or \
                'class Leaf' in obj.meta['module_src']
 
+    def test_reduce_payload_not_executed(self, tmp_path):
+        """A malicious REDUCE payload (``os.system`` / ``builtins.exec``)
+        must come back as an inert stub — the allowlist admits only the
+        specific torch/numpy reconstruction callables."""
+        import os
+        from ln3diff_tpu.utils import legacy_pkl
+
+        flag = tmp_path / 'pwned'
+
+        class EvilSystem:
+            def __reduce__(self):
+                return (os.system, (f'touch {flag}',))
+
+        class EvilExec:
+            def __reduce__(self):
+                return (exec, (f'open(r"{flag}", "w")',))
+
+        path = tmp_path / 'evil.pkl'
+        with open(path, 'wb') as f:
+            pickle.dump({'G_ema': EvilSystem(), 'G': EvilExec()}, f)
+        data = legacy_pkl.load_stubbed(str(path))
+        assert not flag.exists()
+        # the payload callables arrived as stub classes, not real ones
+        assert type(data['G_ema']).__name__ == 'system'
+        assert type(data['G']).__name__ == 'exec'
+        # and the extractor treats them as empty networks
+        flat = legacy_pkl.legacy_pkl_to_npz(str(path), '')
+        assert flat == {}
+        assert not flag.exists()
+
     def test_describe_reports_init_args(self, tmp_path):
         from ln3diff_tpu.utils.legacy_pkl import describe, load_stubbed
         path, _ = _make_reference_pickle(tmp_path)
