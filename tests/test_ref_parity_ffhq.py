@@ -131,3 +131,76 @@ class TestMappingNetworkParity:
                 want = ref(torch.from_numpy(z), None, truncation_psi=psi)
             np.testing.assert_allclose(np.asarray(got), want.numpy(),
                                        rtol=2e-4, atol=2e-5)
+
+
+class TestEG3DGeneratorConversion:
+
+    def test_reference_state_dict_converts_to_generator_structure(self):
+        """``convert_eg3d_generator`` against the REAL reference modules:
+        a ``StyleGAN2Backbone`` + ``OSGDecoder`` state_dict (the layout a
+        legacy EG3D pickle extracts to) must convert into exactly our
+        ``TriPlaneGenerator`` param/stats structure and run a ψ<1
+        forward.  (The self-inverse oracle in test_eg3d_warmup can't
+        catch a layout mistake shared by converter and oracle — this
+        pins the torch side to the reference's own modules.)"""
+        import importlib
+
+        import torch
+        ref_compat.install()
+        sg2 = importlib.import_module('nsr.networks_stylegan2')
+        tri = importlib.import_module('nsr.triplane')
+
+        torch.manual_seed(0)
+        # the reference's StyleGAN2Backbone IS networks_stylegan2.Generator
+        # (``nsr/triplane.py:15``)
+        backbone = sg2.Generator(
+            z_dim=16, c_dim=25, w_dim=16, img_resolution=16,
+            img_channels=24).eval()
+        dec = tri.OSGDecoder(
+            8, {'decoder_lr_mul': 1, 'decoder_output_dim': 8}).eval()
+        sd = {f'G_ema.backbone.{k}': v.detach().numpy()
+              for k, v in backbone.state_dict().items()}
+        sd.update({f'G_ema.decoder.{k}': v.detach().numpy()
+                   for k, v in dec.state_dict().items()})
+        sd['G_ema.backbone.mapping.w_avg'] = \
+            np.full((16,), 0.25, np.float32)
+
+        from ln3diff_tpu.conditioning.convert_ln3diff import \
+            convert_eg3d_generator
+        params, stats = convert_eg3d_generator(sd)
+
+        from ln3diff_tpu.models.eg3d import (TriPlaneGenerator,
+                                             TriPlaneGeneratorConfig)
+        from ln3diff_tpu.render.renderer import RenderOptions
+        gen = TriPlaneGenerator(TriPlaneGeneratorConfig(
+            z_dim=16, c_dim=25, w_dim=16, plane_resolution=16,
+            plane_channels=8, decoder_output_dim=8))
+        opts = RenderOptions(depth_resolution=4,
+                             depth_resolution_importance=4,
+                             ray_start=2.25, ray_end=3.3, box_warp=1.0)
+        z = jnp.zeros((1, 16))
+        cam = jnp.zeros((1, 25)).at[:, (0, 5, 10, 15, 16, 20, 24)].set(1)
+        c = jnp.zeros((1, 25))
+        target = jax.eval_shape(
+            lambda k: gen.init(k, z, cam, opts, 8, c),
+            jax.random.PRNGKey(0))
+
+        def shapes(tree):
+            return {jax.tree_util.keystr(p): tuple(np.shape(v))
+                    for p, v in jax.tree_util.tree_leaves_with_path(tree)}
+
+        got = shapes(params)
+        want = shapes(target['params'])
+        assert got == want, (
+            sorted(set(got) ^ set(want)),
+            {k: (got.get(k), want.get(k)) for k in got if
+             got.get(k) != want.get(k)})
+        assert tuple(np.shape(stats['mapping']['w_avg'])) == \
+            tuple(target['stats']['mapping']['w_avg'].shape)
+
+        variables = {
+            'params': jax.tree_util.tree_map(jnp.asarray, params),
+            'stats': jax.tree_util.tree_map(jnp.asarray, stats)}
+        out = gen.apply(variables, z, cam, opts, 8, c,
+                        truncation_psi=0.7)
+        assert np.isfinite(np.asarray(out['image_raw'])).all()
