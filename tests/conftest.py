@@ -33,9 +33,9 @@ import pytest  # noqa: E402
 # smoke tier (-m smoke): a <3-minute curated slice for the driver loop —
 # one or two FAST tests per subsystem (the full fast tier costs ~14 min
 # on a 1-core host).  Node-id substrings; keep one line per subsystem.
-# Measured on the 1-core bench host: 34 tests, 1 m 34 s warm xla-cache
-# (~3 min cold).  Keep individual entries under ~12 s (check with
-# `pytest -m smoke --durations=20`).
+# Measured on the 1-core bench host: 36 tests, ~1.5 min warm xla-cache
+# (2 m 35 s under CPU contention; ~3 min cold).  Keep individual entries
+# under ~12 s (check with `pytest -m smoke --durations=20`).
 # ---------------------------------------------------------------------------
 
 SMOKE_TESTS = (
