@@ -68,7 +68,7 @@ class TextTo3DPipeline:
                  diffusion: Optional[GaussianDiffusion] = None,
                  transport: Optional[Transport] = None,
                  render_rays_fn=None, mixing_logit=None,
-                 render_dtype=None):
+                 render_dtype=None, serving_mesh=None):
         self.denoiser_fn = denoiser_fn
         self.denoiser_params = denoiser_params
         self.decode_fn = decode_fn
@@ -94,6 +94,18 @@ class TextTo3DPipeline:
         # (95.7 dB PSNR vs f32).  None (default) keeps f32 end-to-end —
         # the parity/testing configuration.
         self.render_dtype = render_dtype
+        # Multi-chip serving: a jax.sharding.Mesh with a 'data' axis —
+        # render_orbit shards frames across it (parallel/serving.py);
+        # params/planes replicate, each device renders F/n frames with
+        # the unmodified single-chip program.  NOTE: the per-device
+        # frame group skips the HBM-budget chunking, so at 192² keep
+        # F/n ≤ ~3 on 16 GB chips (≈1.8 GB gather transient per frame).
+        self.serving_mesh = serving_mesh
+        self._sharded_orbit = None
+        if serving_mesh is not None and render_fn is not None:
+            from .parallel.serving import shard_orbit_render
+            self._sharded_orbit = shard_orbit_render(render_fn,
+                                                     serving_mesh)
         self.spec = sampler
         self.diffusion = diffusion
         self.transport = transport or Transport()
@@ -195,6 +207,16 @@ class TextTo3DPipeline:
             frames_per_call -= 1
         cams = jnp.asarray(cameras) if cameras is not None else \
             jnp.asarray(orbit_cameras(num_frames, radius, fov, pitch_deg))
+        if (self._sharded_orbit is not None and frame_slice is None
+                and planes.shape[0] == 1):
+            # multi-chip serving: frames sharded over the mesh; pad the
+            # (cyclic) camera ring up to the axis size, trim after
+            n = self.serving_mesh.shape['data']
+            pad = (-num_frames) % n
+            cams_p = cams[jnp.arange(num_frames + pad) % num_frames] \
+                if pad else cams
+            frames = self._sharded_orbit(self.vae_params, planes, cams_p)
+            return frames[None, :num_frames]
         if frame_slice is not None:
             a, b = frame_slice
             cams = cams[a:b]

@@ -187,6 +187,48 @@ class TestTextTo3DPipeline:
         assert lat.shape == (2, 8, 8, 12)
         assert np.isfinite(np.asarray(lat)).all()
 
+    def test_serving_mesh_orbit_matches_single_device(self):
+        """``serving_mesh=`` shards the orbit frames over the mesh and
+        must reproduce the single-device orbit exactly (incl. the cyclic
+        pad when F is not divisible by the axis)."""
+        from ln3diff_tpu.parallel.mesh import MeshConfig, make_mesh
+
+        vae, vae_cfg = tiny_vae()
+        opts = RenderOptions(depth_resolution=4,
+                             depth_resolution_importance=4, box_warp=0.9,
+                             deterministic=True)
+        cam0 = jnp.zeros((1, 25))
+        vae_vars = vae.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 16, 16, 12)), cam0, opts, 8,
+                            method=vae.init_decoder_paths)
+
+        def render_fn(p, planes, cam):
+            return vae.apply(p, planes, cam, opts, 16, None,
+                             method=vae.render)['image_raw']
+
+        def make(mesh):
+            return TextTo3DPipeline(
+                None, None,
+                lambda p, l: vae.apply(p, l, method=vae.decode_latent),
+                vae_vars, render_fn,
+                lambda p, planes, coords: vae.apply(
+                    p, planes, coords, opts.box_warp,
+                    method=vae.query_points),
+                serving_mesh=mesh)
+
+        latents = jax.random.normal(jax.random.PRNGKey(5),
+                                    (1, 16, 16, 12)) * 0.5
+        single = make(None)
+        planes = single._decode_jit(vae_vars, latents)
+        ref = single.render_orbit(planes, num_frames=2,
+                                  render_resolution=16)
+
+        sharded = make(make_mesh(MeshConfig(data=8)))
+        got = sharded.render_orbit(planes, num_frames=2,
+                                   render_resolution=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_int8_quantized_sampling(self):
         """Opt-in W8A8 int8 DiT serving through the sampling scan
         (``ops/int8.py``): quantize a bf16 pipeline's denoiser params
