@@ -95,11 +95,12 @@ class TextTo3DPipeline:
         # the parity/testing configuration.
         self.render_dtype = render_dtype
         # Multi-chip serving: a jax.sharding.Mesh with a 'data' axis —
-        # render_orbit shards frames across it (parallel/serving.py);
-        # params/planes replicate, each device renders F/n frames with
-        # the unmodified single-chip program.  NOTE: the per-device
-        # frame group skips the HBM-budget chunking, so at 192² keep
-        # F/n ≤ ~3 on 16 GB chips (≈1.8 GB gather transient per frame).
+        # render_orbit shards frames across it (parallel/serving.py) in
+        # HBM-budgeted groups of n·frames_per_call; params/planes
+        # replicate, each device renders frames_per_call frames per call
+        # with the unmodified single-chip program.  The σ-grid mesh query
+        # stays single-device (wrap point_decoder_fn with
+        # parallel.serving.shard_points_query to shard it manually).
         self.serving_mesh = serving_mesh
         self._sharded_orbit = None
         if serving_mesh is not None and render_fn is not None:
@@ -203,20 +204,29 @@ class TextTo3DPipeline:
             frames_per_call = max(1, int(hbm_budget_bytes
                                          // bytes_per_frame))
         frames_per_call = min(frames_per_call, num_frames)
-        while num_frames % frames_per_call:
-            frames_per_call -= 1
         cams = jnp.asarray(cameras) if cameras is not None else \
             jnp.asarray(orbit_cameras(num_frames, radius, fov, pitch_deg))
-        if (self._sharded_orbit is not None and frame_slice is None
-                and planes.shape[0] == 1):
-            # multi-chip serving: frames sharded over the mesh; pad the
-            # (cyclic) camera ring up to the axis size, trim after
+        if self._sharded_orbit is not None and planes.shape[0] == 1:
+            # Multi-chip serving: frames shard over the mesh in groups of
+            # n·frames_per_call, so each device's transient stays within
+            # the same HBM budget as the single-chip path.  Group tails
+            # pad cyclically from the (sliced) ring — every sharded call
+            # keeps one static shape — and pads are trimmed after.
+            if frame_slice is not None:
+                a, b = frame_slice
+                cams = cams[a:b]
+                num_frames = b - a
             n = self.serving_mesh.shape['data']
-            pad = (-num_frames) % n
-            cams_p = cams[jnp.arange(num_frames + pad) % num_frames] \
-                if pad else cams
-            frames = self._sharded_orbit(self.vae_params, planes, cams_p)
-            return frames[None, :num_frames]
+            group = n * frames_per_call
+            outs = []
+            for f0 in range(0, num_frames, group):
+                idx = (f0 + jnp.arange(group)) % num_frames
+                out = self._sharded_orbit(self.vae_params, planes,
+                                          cams[idx])
+                outs.append(out[:min(group, num_frames - f0)])
+            return jnp.concatenate(outs, axis=0)[None]
+        while num_frames % frames_per_call:
+            frames_per_call -= 1
         if frame_slice is not None:
             a, b = frame_slice
             cams = cams[a:b]

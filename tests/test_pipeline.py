@@ -229,6 +229,29 @@ class TestTextTo3DPipeline:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+        # chunked path: 10 frames, forced 1 frame/device/call → groups
+        # of 8 with a cyclically-padded tail; and a frame_slice (the
+        # __call__ interleave schedule) must shard too
+        # frames_per_call=1 on BOTH sides: per-call batch shape changes
+        # XLA's f32 reduction order (searchsorted one-hot matmuls),
+        # which shifts isolated silhouette pixels at ~1e-2 — same shape
+        # → same program → exact match
+        ref10 = single.render_orbit(planes, num_frames=10,
+                                    frames_per_call=1,
+                                    render_resolution=16)
+        got10 = sharded.render_orbit(planes, num_frames=10,
+                                     frames_per_call=1,
+                                     render_resolution=16)
+        np.testing.assert_allclose(np.asarray(got10), np.asarray(ref10),
+                                   rtol=1e-5, atol=1e-5)
+        got_slice = sharded.render_orbit(planes, num_frames=10,
+                                         frames_per_call=1,
+                                         frame_slice=(2, 7),
+                                         render_resolution=16)
+        np.testing.assert_allclose(np.asarray(got_slice),
+                                   np.asarray(ref10[:, 2:7]),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_int8_quantized_sampling(self):
         """Opt-in W8A8 int8 DiT serving through the sampling scan
         (``ops/int8.py``): quantize a bf16 pipeline's denoiser params
