@@ -98,15 +98,20 @@ class TextTo3DPipeline:
         # render_orbit shards frames across it (parallel/serving.py) in
         # HBM-budgeted groups of n·frames_per_call; params/planes
         # replicate, each device renders frames_per_call frames per call
-        # with the unmodified single-chip program.  The σ-grid mesh query
-        # stays single-device (wrap point_decoder_fn with
-        # parallel.serving.shard_points_query to shard it manually).
+        # with the unmodified single-chip program; dispatch_mesh_sigma
+        # shards its grid query the same way (point chunks over devices).
         self.serving_mesh = serving_mesh
         self._sharded_orbit = None
-        if serving_mesh is not None and render_fn is not None:
-            from .parallel.serving import shard_orbit_render
-            self._sharded_orbit = shard_orbit_render(render_fn,
-                                                     serving_mesh)
+        self._sharded_points = None
+        if serving_mesh is not None:
+            from .parallel.serving import (shard_orbit_render,
+                                           shard_points_query)
+            if render_fn is not None:
+                self._sharded_orbit = shard_orbit_render(render_fn,
+                                                         serving_mesh)
+            if point_decoder_fn is not None:
+                self._sharded_points = shard_points_query(
+                    point_decoder_fn, serving_mesh, chunk=2**18)
         self.spec = sampler
         self.diffusion = diffusion
         self.transport = transport or Transport()
@@ -290,7 +295,19 @@ class TextTo3DPipeline:
         bounds the host marching stage against noisy fields (the 0.2–3 s
         mesh tail) at sub-voxel iso-surface shift; pass False for the
         reference-parity raw field (``render.mesh.smooth_sigma_grid``)."""
-        from .render.mesh import query_grid_sigma
+        from .render.mesh import _smooth_jit, query_grid_sigma
+        if self._sharded_points is not None:
+            # multi-chip serving: point chunks shard over the mesh
+            lin = jnp.linspace(-aabb, aabb, grid_size)
+            gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing='ij')
+            pts = jnp.stack([gx, gy, gz], axis=-1).reshape(1, -1, 3)
+            _, sigma = self._sharded_points(self.vae_params, planes[:1],
+                                            pts)
+            sigmas = sigma[0, :, 0].astype(jnp.float16)
+            if smooth:
+                g = grid_size
+                sigmas = _smooth_jit(sigmas.reshape(g, g, g)).reshape(-1)
+            return sigmas
         return query_grid_sigma(self._mesh_decoder(planes), grid_size, aabb,
                                 chunk=2**18, smooth=smooth)
 

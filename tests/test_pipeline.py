@@ -252,6 +252,16 @@ class TestTextTo3DPipeline:
                                    np.asarray(ref10[:, 2:7]),
                                    rtol=1e-5, atol=1e-5)
 
+        # σ-grid mesh query shards too (point decoders are per-point →
+        # exact match; 17³ exercises the non-divisible pad)
+        ref_sig = single.dispatch_mesh_sigma(planes, grid_size=17,
+                                             aabb=0.4)
+        got_sig = sharded.dispatch_mesh_sigma(planes, grid_size=17,
+                                              aabb=0.4)
+        np.testing.assert_allclose(np.asarray(got_sig, np.float32),
+                                   np.asarray(ref_sig, np.float32),
+                                   rtol=1e-3, atol=1e-3)
+
     def test_int8_quantized_sampling(self):
         """Opt-in W8A8 int8 DiT serving through the sampling scan
         (``ops/int8.py``): quantize a bf16 pipeline's denoiser params
