@@ -244,13 +244,15 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
     # warm ALL the mesh-phase programs (σ query AND the vertex-color
     # chunked map — same σ field → same bucketed vert count → same
     # compiled program) so the timed pass is steady-state only
-    sg_warm = np.asarray(pipeline.dispatch_mesh_sigma(planes, MESH_GRID))
+    sg_warm = np.asarray(pipeline.dispatch_mesh_sigma(planes, MESH_GRID,
+                                                      smooth=True))
     verts_warm, _ = march_grid(sg_warm, MESH_GRID)
     dispatch_vertex_colors(pipeline._mesh_decoder(planes), verts_warm,
                            as_uint8=True)
 
     def mesh_serial():
-        sg = np.asarray(pipeline.dispatch_mesh_sigma(planes, MESH_GRID))
+        sg = np.asarray(pipeline.dispatch_mesh_sigma(planes, MESH_GRID,
+                                                     smooth=True))
         verts, faces = march_grid(sg, MESH_GRID)
         rgb = dispatch_vertex_colors(pipeline._mesh_decoder(planes), verts,
                                      as_uint8=True)

@@ -222,6 +222,11 @@ class TextTo3DPipeline:
                 cams = cams[a:b]
                 num_frames = b - a
             n = self.serving_mesh.shape['data']
+            # clamp so a generous HBM budget can't make every device
+            # render the whole ring (n-fold redundant compute at small
+            # res/short orbits — round-4 advisor finding)
+            frames_per_call = min(frames_per_call,
+                                  max(1, -(-num_frames // n)))
             group = n * frames_per_call
             outs = []
             for f0 in range(0, num_frames, group):
@@ -282,7 +287,7 @@ class TextTo3DPipeline:
         return decoder
 
     def dispatch_mesh_sigma(self, planes, grid_size: int = 192,
-                            aabb: float = 0.45, smooth: bool = True):
+                            aabb: float = 0.45, smooth: bool = False):
         """Enqueue the σ-grid device query WITHOUT waiting — returns the
         in-flight device array.  Call before a large host readback (e.g.
         the orbit video) so query compute/transfer overlap with it.
@@ -291,10 +296,12 @@ class TextTo3DPipeline:
         steps instead of 109 for a 192³ grid — larger fused-kernel grids
         per step, same ≤0.2 GB transient.
 
-        ``smooth`` (serving default True): on-device 3³ σ denoise —
+        ``smooth`` (default False — the reference-parity raw σ field,
+        matching ``export_mesh``; round-4 advisor: all mesh entry points
+        share one default): True enables the on-device 3³ σ denoise that
         bounds the host marching stage against noisy fields (the 0.2–3 s
-        mesh tail) at sub-voxel iso-surface shift; pass False for the
-        reference-parity raw field (``render.mesh.smooth_sigma_grid``)."""
+        mesh tail) at sub-voxel iso-surface shift.  Serving callers
+        (``__call__``) opt in via ``mesh_smooth=True``."""
         from .render.mesh import _smooth_jit, query_grid_sigma
         if self._sharded_points is not None:
             # multi-chip serving: point chunks shard over the mesh

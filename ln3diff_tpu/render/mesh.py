@@ -177,6 +177,12 @@ def march_grid(sigma: np.ndarray, grid_size: int, aabb: float = 0.45,
                    cells.ctypes.data_as(ip), cells.size,
                    out.ctypes.data_as(_fp()), max_tris)
         if n < 0:   # over the cap: keep the filled buffer
+            import warnings
+            warnings.warn(
+                f'march_grid: triangle count {-n} exceeds max_tris_cap='
+                f'{cap}; returning the first {max_tris} triangles '
+                '(cell-order prefix — usually a noise field, not a real '
+                'surface)', RuntimeWarning, stacklevel=2)
             n = max_tris
     tris = out[:n].reshape(n * 3, 3)
     scale = (2 * aabb) / (grid_size - 1)

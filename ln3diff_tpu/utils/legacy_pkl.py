@@ -92,7 +92,6 @@ _ALLOWED_GLOBALS = {
     ('torch._utils', '_rebuild_tensor'),
     ('torch._utils', '_rebuild_tensor_v2'),
     ('torch._utils', '_rebuild_parameter'),
-    ('torch.storage', '_load_from_bytes'),
     ('numpy', 'ndarray'),
     ('numpy', 'dtype'),
     ('numpy.core.multiarray', '_reconstruct'),
@@ -114,12 +113,28 @@ def _torch_attr_allowed(name: str) -> bool:
         or name in ('Size', 'device')
 
 
+def _safe_load_from_bytes(b):
+    """Restricted stand-in for ``torch.storage._load_from_bytes``.
+
+    The real function (torch 2.x) is ``torch.load(io.BytesIO(b),
+    weights_only=False)`` — a fully unrestricted NESTED unpickle of
+    attacker-controlled bytes, i.e. a well-known RCE gadget that would
+    defeat this module's no-code-execution guarantee if allowlisted
+    directly (a REDUCE through it reaches arbitrary callables).  Legacy
+    torch-saved storages deserialize fine under ``weights_only=True``;
+    anything else (a smuggled inner pickle) raises instead of executing."""
+    import torch
+    return torch.load(io.BytesIO(b), weights_only=True)
+
+
 class _StubUnpickler(pickle.Unpickler):
     def find_class(self, module: str, name: str):
         if name == '_reconstruct_persistent_obj':
             return _reconstruct_capture
         if name == 'EasyDict':
             return _EasyDictStub
+        if (module, name) == ('torch.storage', '_load_from_bytes'):
+            return _safe_load_from_bytes
         if (module, name) in _ALLOWED_GLOBALS or \
                 (module == 'torch' and _torch_attr_allowed(name)):
             # real torch tensor/storage reconstruction + data types

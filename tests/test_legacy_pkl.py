@@ -95,6 +95,53 @@ class TestLegacyPklExtractor:
         assert flat == {}
         assert not flag.exists()
 
+    def test_load_from_bytes_gadget_not_executed(self, tmp_path):
+        """``torch.storage._load_from_bytes`` is the classic allowlist
+        bypass: the real function is ``torch.load(..., weights_only=
+        False)`` — an unrestricted NESTED unpickle of attacker bytes.
+        The extractor must route it through a ``weights_only=True``
+        wrapper so a smuggled inner pickle raises instead of executing
+        (round-4 advisor finding)."""
+        import os
+
+        from ln3diff_tpu.utils import legacy_pkl
+
+        flag = tmp_path / 'pwned'
+
+        class EvilInner:
+            def __reduce__(self):
+                return (os.system, (f'touch {flag}',))
+
+        inner = pickle.dumps(EvilInner())
+
+        class ViaStorage:
+            def __reduce__(self):
+                import torch.storage
+                return (torch.storage._load_from_bytes, (inner,))
+
+        path = tmp_path / 'evil_storage.pkl'
+        with open(path, 'wb') as f:
+            pickle.dump({'G_ema': ViaStorage()}, f)
+        with pytest.raises(Exception):
+            legacy_pkl.load_stubbed(str(path))
+        assert not flag.exists()
+
+    def test_plain_pickled_tensor_storage_still_loads(self, tmp_path):
+        """The legit use of ``_load_from_bytes`` — plain ``pickle`` of a
+        torch tensor (how the reference's persistence pickles tensor
+        leaves) — must survive the weights_only hardening bitwise."""
+        import torch
+
+        from ln3diff_tpu.utils import legacy_pkl
+
+        t = torch.arange(12, dtype=torch.float32).reshape(3, 4) * 0.5
+        path = tmp_path / 'tensor.pkl'
+        with open(path, 'wb') as f:
+            pickle.dump({'x': t}, f)
+        data = legacy_pkl.load_stubbed(str(path))
+        np.testing.assert_array_equal(np.asarray(data['x']),
+                                      t.numpy())
+
     def test_describe_reports_init_args(self, tmp_path):
         from ln3diff_tpu.utils.legacy_pkl import describe, load_stubbed
         path, _ = _make_reference_pickle(tmp_path)
