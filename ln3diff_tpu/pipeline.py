@@ -129,17 +129,18 @@ class TextTo3DPipeline:
         spec = self.spec
         shape = (batch,) + tuple(spec.latent_shape)
 
-        def cfg_fn(x, t, **_):
-            xx = jnp.concatenate([x, x], axis=0)
-            tt = jnp.concatenate([t, t], axis=0)
-            both = jax.tree_util.tree_map(
-                lambda c, u: jnp.concatenate(
-                    [jnp.broadcast_to(c, (batch,) + c.shape[1:]),
-                     jnp.broadcast_to(u, (batch,) + u.shape[1:])], axis=0),
-                cond, uncond)
-            out = self.denoiser_fn(params, xx, tt, both)
-            c_out, u_out = jnp.split(out, 2, axis=0)
-            return u_out + spec.cfg_scale * (c_out - u_out)
+        if spec.cfg_scale == 1.0:
+            # u + 1·(c − u) = c: the unconditional branch cancels, so run
+            # the conditional half only (reference skips uncond the same
+            # way — ``crossattn_cldm_objv.py:635``; the ShapeNet release
+            # samples at cfg 1.0, halving the U-Net FLOPs per step).
+            def cfg_fn(x, t, **_):
+                ctx = jax.tree_util.tree_map(
+                    lambda c: jnp.broadcast_to(
+                        c, (batch,) + c.shape[1:]), cond)
+                return self.denoiser_fn(params, x, t, ctx)
+        else:
+            cfg_fn = self._make_cfg_fn(params, cond, uncond, batch)
 
         if spec.kind == 'flow_matching':
             x = self.transport.sample_ode(cfg_fn, shape, key,
@@ -165,6 +166,25 @@ class TextTo3DPipeline:
         else:
             raise NotImplementedError(spec.kind)
         return x * spec.triplane_scaling_divider
+
+    def _make_cfg_fn(self, params, cond, uncond, batch: int):
+        """Doubled-batch classifier-free guidance (reference
+        ``forward_with_cfg``): one denoiser call over [cond; uncond]."""
+        spec = self.spec
+
+        def cfg_fn(x, t, **_):
+            xx = jnp.concatenate([x, x], axis=0)
+            tt = jnp.concatenate([t, t], axis=0)
+            both = jax.tree_util.tree_map(
+                lambda c, u: jnp.concatenate(
+                    [jnp.broadcast_to(c, (batch,) + c.shape[1:]),
+                     jnp.broadcast_to(u, (batch,) + u.shape[1:])], axis=0),
+                cond, uncond)
+            out = self.denoiser_fn(params, xx, tt, both)
+            c_out, u_out = jnp.split(out, 2, axis=0)
+            return u_out + spec.cfg_scale * (c_out - u_out)
+
+        return cfg_fn
 
     def sample_latents(self, key, batch: int, cond, uncond):
         """CFG-doubled sampling → latents (B, h, w, C), one jitted scan."""

@@ -124,6 +124,103 @@ class TestTextTo3DPipeline:
                 * 127.5).astype(np.uint8)
         np.testing.assert_array_equal(out8['video'], want)
 
+    def test_cfg_scale_one_skips_uncond_branch(self):
+        """cfg 1.0 (the ShapeNet release scale) runs the conditional half
+        only — u + 1·(c − u) = c, reference skips uncond the same way
+        (``crossattn_cldm_objv.py:635``).  Equivalence check: the single-
+        branch sample must equal a doubled-branch sample whose uncond IS
+        cond (there u = c, so any scale collapses to c)."""
+        den_cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                            hidden_size=32, depth=2, num_heads=2,
+                            variant='text', context_dim=16,
+                            dtype=jnp.float32)
+        denoiser = DiT_TriLatent(den_cfg)
+        den_vars = denoiser.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((2, 8, 8, 12)),
+                                 jnp.zeros((2,)),
+                                 {'crossattn': jnp.zeros((2, 7, 16))})
+
+        def make(cfg_scale):
+            return TextTo3DPipeline(
+                lambda p, x, t, c: denoiser.apply(p, x, t, c), den_vars,
+                None, None, None, None,
+                sampler=SamplerSpec(kind='ddim', num_steps=4,
+                                    cfg_scale=cfg_scale,
+                                    latent_shape=(8, 8, 12)),
+                diffusion=make_diffusion(steps=100,
+                                         timestep_respacing='4'))
+
+        cond = {'crossattn': jnp.ones((1, 7, 16)) * 0.3}
+        uncond = {'crossattn': jnp.zeros((1, 7, 16))}
+        key = jax.random.PRNGKey(5)
+        x_single = make(1.0).sample_latents(key, 1, cond, uncond)
+        x_double = make(3.0).sample_latents(key, 1, cond, cond)
+        np.testing.assert_allclose(np.asarray(x_single),
+                                   np.asarray(x_double), atol=2e-5)
+
+    def test_unet_lsgm_family_assembly(self):
+        """The ShapeNet/FFHQ bench-family assembly end to end at tiny
+        scale: pooled-CLIP context (B, 1, D) → U-Net LSGM (v-pred +
+        mixing logit) DDIM scan at cfg 1.0 → decode → ``image_sr``
+        render over an explicit camera ring (bench.py
+        ``_build_unet_family``)."""
+        from ln3diff_tpu.models.unet import UNetConfig, UNetModel
+        from ln3diff_tpu.render.camera import orbit_cameras
+
+        vae_cfg = dataclasses.replace(tiny_vae()[1], use_sr=True,
+                                      sr_ratio=2)
+        vae = TriplaneVAE(vae_cfg)
+        den_cfg = UNetConfig(in_channels=4, model_channels=8,
+                             out_channels=4, num_res_blocks=1,
+                             attention_resolutions=(4,),
+                             channel_mult=(1, 2), num_heads=2,
+                             use_spatial_transformer=True, context_dim=16,
+                             roll_out=True, mixed_prediction=True,
+                             dtype=jnp.float32)
+        denoiser = UNetModel(den_cfg)
+        opts = RenderOptions(depth_resolution=4,
+                             depth_resolution_importance=4, box_warp=1.2,
+                             ray_start=0.6, ray_end=1.8, white_back=True,
+                             deterministic=True)
+
+        den_vars = denoiser.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 16, 16, 12)),
+                                 jnp.zeros((1,)), jnp.zeros((1, 1, 16)))
+        assert 'mixing_logit' in den_vars['params']
+        vae_vars = vae.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 16, 16, 12)),
+                            jnp.zeros((1, 25)), opts, 8,
+                            method=vae.init_decoder_paths)
+
+        pipeline = TextTo3DPipeline(
+            lambda p, x, t, c: denoiser.apply(p, x, t, c['crossattn']),
+            den_vars,
+            lambda p, latents: vae.apply(p, latents,
+                                         method=vae.decode_latent),
+            vae_vars,
+            lambda p, planes, cam: vae.apply(
+                p, planes, cam, opts, 8, None,
+                method=vae.render)['image_sr'],
+            lambda p, planes, coords: vae.apply(
+                p, planes, coords, opts.box_warp,
+                method=vae.query_points),
+            sampler=SamplerSpec(kind='ddim', num_steps=4, cfg_scale=1.0,
+                                triplane_scaling_divider=1.0,
+                                latent_shape=(16, 16, 12)),
+            diffusion=make_diffusion(steps=100, mean_type='v',
+                                     mixed_prediction=True,
+                                     timestep_respacing='4'),
+            mixing_logit=den_vars['params'].get('mixing_logit'))
+
+        cams = orbit_cameras(2, radius=1.2, fov=50.0, pitch_deg=20.0)
+        cond = {'crossattn': jnp.ones((1, 1, 16)) * 0.1}
+        uncond = {'crossattn': jnp.zeros((1, 1, 16))}
+        out = pipeline(jax.random.PRNGKey(2), cond, uncond, batch=1,
+                       cameras=cams, video_uint8=True)
+        # 8² rays × SR 2x → 16² frames over the 2-camera ring
+        assert out['video'].shape == (1, 2, 16, 16, 3)
+        assert np.isfinite(out['latents']).all()
+
     def test_render_dtype_serving_matches_f32(self, tmp_path):
         """``render_dtype=bf16`` (the serving knob: bf16 gather table +
         bf16 kernel lerp) must track the f32 path closely and keep the
