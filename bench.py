@@ -39,12 +39,83 @@ import time
 import numpy as np
 
 BASELINE_S = 5.0          # seconds — BASELINE.md north star
-NUM_FRAMES = 24
-RENDER_RES = 192
-MESH_GRID = 192
-DDIM_STEPS = 250
 
-PHASE_NAMES = ('text_encode', 'dit_sample', 'vae_decode', 'mesh', 'render')
+# --------------------------------------------------------------------------
+# Families (round-5): the default run measures the flagship t23d DiT path
+# (the driver-recorded number, unchanged); LN3DIFF_BENCH_FAMILY /
+# --family {shapenet,ffhq,i23d} select the OTHER released configs
+# end-to-end on chip (VERDICT r4 #1).  Specs mirror the reference release
+# scripts:
+#   shapenet — U-Net 320ch LSGM v-pred + mixing-logit, ddim250, cfg 1.0
+#     (pooled CLIP ×18.4), 64² rays + NearestConvSR → 128² frames, 192³
+#     mesh (sample_shapenet_car_t23d.sh:95,163,174).
+#   ffhq — same U-Net, cfg 6.5 (pooled CLIP ×1.0), 48+48 sampling at
+#     128² rays + SuperresolutionHybrid8XDC → 512² frames, no mesh
+#     (sample_ffhq_t23d.sh:5,88).
+#   i23d — DiT-PixArt-L/2 flow-matching ODE 250 steps, cfg 4.0, CLIP
+#     image tokens + pooled vector, 192² orbit + 192³ mesh
+#     (sample_obajverse_i23d_dit.sh:5,99-125,194).
+FAMILY_SPECS = {
+    't23d': dict(
+        metric='text_to_mesh_wall_clock',
+        phases=('text_encode', 'dit_sample', 'vae_decode', 'mesh',
+                'render'),
+        frames=24, ray_res=192, out_res=192, mesh_grid=192, steps=250,
+        camera=None,
+        desc='prompt -> 250-step DDIM DiT-L/2 CFG -> VAE decode -> '
+             '24x192^2 orbit render -> 192^3 mesh'),
+    'shapenet': dict(
+        metric='text_to_mesh_wall_clock_shapenet',
+        phases=('text_encode', 'unet_sample', 'vae_decode', 'mesh',
+                'render'),
+        frames=24, ray_res=64, out_res=128, mesh_grid=192, steps=250,
+        camera=dict(radius=1.2, fov=50.0, pitch_deg=20.0),
+        desc='prompt -> 250-step DDIM U-Net-320 LSGM (cfg 1.0, pooled '
+             'CLIP x18.4) -> fusionv5 VAE decode -> 24-frame 64^2-ray '
+             'orbit + NearestConvSR to 128^2 -> 192^3 mesh'),
+    'ffhq': dict(
+        metric='text_to_video_wall_clock_ffhq',
+        phases=('text_encode', 'unet_sample', 'vae_decode', 'render'),
+        frames=24, ray_res=128, out_res=512, mesh_grid=None, steps=250,
+        camera=dict(radius=2.7, fov=12.6, pitch_deg=0.0),
+        desc='prompt -> 250-step DDIM U-Net-320 LSGM CFG 6.5 -> '
+             '4XC_final VAE decode -> 24-frame 48+48-sample 128^2-ray '
+             'orbit + SuperresolutionHybrid8XDC to 512^2 (no mesh: '
+             'reference FFHQ release renders videos only)'),
+    'i23d': dict(
+        metric='image_to_mesh_wall_clock_i23d',
+        phases=('image_encode', 'dit_sample', 'vae_decode', 'mesh',
+                'render'),
+        frames=24, ray_res=192, out_res=192, mesh_grid=192, steps=250,
+        camera=None,
+        desc='image -> 250-step FM-ODE DiT-PixArt-L/2 CFG 4.0 (CLIP '
+             'image tokens + pooled vector) -> VAE decode -> 24x192^2 '
+             'orbit render -> 192^3 mesh'),
+}
+
+def _apply_family(name):
+    global FAMILY, SPEC, NUM_FRAMES, RENDER_RES, MESH_GRID, DDIM_STEPS, \
+        PHASE_NAMES
+    FAMILY = name
+    SPEC = FAMILY_SPECS[name]
+    NUM_FRAMES = SPEC['frames']
+    RENDER_RES = SPEC['ray_res']
+    MESH_GRID = SPEC['mesh_grid']
+    DDIM_STEPS = SPEC['steps']
+    PHASE_NAMES = SPEC['phases']
+    os.environ['LN3DIFF_BENCH_FAMILY'] = name   # children inherit
+
+
+_apply_family(os.environ.get('LN3DIFF_BENCH_FAMILY', 't23d'))
+
+
+def _orbit_cams():
+    """Per-family eval-orbit camera ring (None → the pipeline's default
+    objaverse orbit, the pre-round-5 behavior)."""
+    if SPEC['camera'] is None:
+        return None
+    from ln3diff_tpu.render.camera import orbit_cameras
+    return np.asarray(orbit_cameras(NUM_FRAMES, **SPEC['camera']))
 
 
 def _emit(obj):
@@ -52,15 +123,14 @@ def _emit(obj):
 
 
 def _result(wall, cold=False, dit_sps=None, mrays=None):
-    unit = ('s (prompt -> 250-step DDIM DiT-L/2 CFG -> VAE decode -> '
-            f'{NUM_FRAMES}x{RENDER_RES}^2 orbit render -> '
-            f'{MESH_GRID}^3 mesh'
+    unit = (f's ({SPEC["desc"]}'
             + ('; COLD RUN incl. compile — warm result pending' if cold
                else ', warm')
-            + '; CLIP text tower is architecture-faithful but randomly '
-              'initialized — wall-clock-identical to converted weights)')
+            + '; conditioning towers are architecture-faithful but '
+              'randomly initialized — wall-clock-identical to converted '
+              'weights)')
     out = {
-        'metric': 'text_to_mesh_wall_clock',
+        'metric': SPEC['metric'],
         'value': round(wall, 2),
         'unit': unit,
         'vs_baseline': round(BASELINE_S / wall, 3),
@@ -80,14 +150,15 @@ def _partial_result(phase_walls, dit_sps=None, mrays=None):
     done = [p for p in PHASE_NAMES if p in phase_walls]
     missing = [p for p in PHASE_NAMES if p not in phase_walls]
     total = sum(phase_walls.values())
-    unit = (f's PARTIAL staged sum at {RENDER_RES}^2/{MESH_GRID}^3 spec — '
+    mesh_part = f'/{MESH_GRID}^3' if MESH_GRID else ''
+    unit = (f's PARTIAL staged sum at {RENDER_RES}^2{mesh_part} spec — '
             f'measured phases: {"+".join(done)}'
             + (f'; NOT yet measured: {"+".join(missing)} (lower bound of '
                'the full wall)' if missing
                else ' (all phases measured serially; true end-to-end warm '
                     'wall pending)'))
     out = {
-        'metric': 'text_to_mesh_wall_clock',
+        'metric': SPEC['metric'],
         'value': round(total, 2),
         'unit': unit,
         # the serial staged sum is an UPPER bound of the true wall, so
@@ -190,6 +261,195 @@ def _build_pipeline():
     return pipeline, encode
 
 
+def _build_unet_family(family):
+    """ShapeNet / FFHQ released config: U-Net-320 LSGM (v-pred + learned
+    mixing logit) over the VAE latent, pooled-CLIP text conditioning,
+    fusion-decoder VAE with an on-chip render-space SR head.  Mirrors
+    ``scripts/vit_triplane_diffusion_sample.py --preset shapenet/car-t23d
+    | ffhq/t23d`` (reference ``sample_shapenet_car_t23d.sh``,
+    ``sample_ffhq_t23d.sh``)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from ln3diff_tpu.config import (RENDER_PRESETS, build_vae,
+                                    denoiser_preset, vae_preset)
+    from ln3diff_tpu.conditioning.clip import (CLIPTextConfig,
+                                               CLIPTextModel,
+                                               default_tokenizer,
+                                               pooled_text_context)
+    from ln3diff_tpu.diffusion.gaussian import make_diffusion
+    from ln3diff_tpu.models.unet import UNetModel
+    from ln3diff_tpu.pipeline import SamplerSpec, TextTo3DPipeline
+    from ln3diff_tpu.utils.misc import cast_floating
+
+    cfg_scale = 1.0 if family == 'shapenet' else 6.5
+    clip_scale = 18.4 if family == 'shapenet' else 1.0
+    render_opts = RENDER_PRESETS[
+        'shapenet_tuneray_aug_resolution_64_64_nearestSR'
+        if family == 'shapenet' else 'ffhq']
+
+    den_cfg = denoiser_preset('shapenet-unet')
+    denoiser = UNetModel(den_cfg)
+    vae_cfg = vae_preset(family)
+    vae = build_vae(vae_cfg)
+    text_model = CLIPTextModel(CLIPTextConfig(with_projection=True))
+    tokenizer = default_tokenizer()
+
+    hw = vae_cfg.latent_size
+    x0 = jnp.zeros((2, hw, hw, vae_cfg.latent_channels))
+    ctx0 = jnp.zeros((2, 1, 768))
+    den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0,
+                                      jnp.zeros((2,)), ctx0)
+    den_vars = cast_floating(den_vars, jnp.bfloat16)
+
+    latent0 = jnp.zeros((1, hw, hw, vae_cfg.latent_channels))
+    cam0 = jnp.zeros((1, 25)).at[:, 0].set(1).at[:, 5].set(1) \
+        .at[:, 10].set(1).at[:, 15].set(1).at[:, 16].set(1) \
+        .at[:, 20].set(1).at[:, 24].set(1)
+    init_opts = dataclasses.replace(render_opts, depth_resolution=4,
+                                    depth_resolution_importance=4)
+    vae_vars = jax.jit(
+        lambda k: vae.init(k, latent0, cam0, init_opts, 8,
+                           method=vae.init_decoder_paths),
+    )(jax.random.PRNGKey(2))
+    text_vars = jax.jit(text_model.init)(jax.random.PRNGKey(3),
+                                         jnp.zeros((1, 77), jnp.int32))
+
+    def render_fn(params, planes, cam25):
+        out = vae.apply(params, planes, cam25, render_opts, RENDER_RES,
+                        None, use_fused_osg=True, method=vae.render)
+        return out['image_sr']       # NearestConvSR 128² / Hybrid8XDC 512²
+
+    pipeline = TextTo3DPipeline(
+        lambda p, x, t, c: denoiser.apply(p, x, t, c['crossattn']),
+        den_vars,
+        lambda p, latents: vae.apply(p, latents, method=vae.decode_latent),
+        vae_vars, render_fn,
+        lambda p, planes, coords: vae.apply(
+            p, planes, coords, render_opts.box_warp, use_fused_osg=True,
+            method=vae.query_points),
+        sampler=SamplerSpec(kind='ddim', num_steps=DDIM_STEPS,
+                            cfg_scale=cfg_scale,
+                            triplane_scaling_divider=1.0,
+                            latent_shape=(hw, hw,
+                                          vae_cfg.latent_channels)),
+        diffusion=make_diffusion(steps=1000, mean_type='v',
+                                 mixed_prediction=True,
+                                 timestep_respacing='ddim250'),
+        mixing_logit=den_vars['params'].get('mixing_logit'),
+        render_dtype=jnp.bfloat16)
+
+    # pooled CLIP text feature, L2-normalized × scale (reference
+    # FrozenCLIPTextEmbedder, ldm/modules/encoders/modules.py:209-260)
+    encode_text = jax.jit(
+        lambda v, ids: pooled_text_context(
+            text_model.apply(v, ids)['text_embeds'],
+            scale_clip_encoding=clip_scale))
+
+    def encode(prompt):
+        both = encode_text(text_vars,
+                           jnp.asarray(tokenizer([prompt, ''])))
+        return {'crossattn': both[:1]}, {'crossattn': both[1:]}
+
+    return pipeline, encode
+
+
+def _build_i23d_family():
+    """Objaverse i23d released config: DiT-PixArt-L/2 flow-matching ODE
+    with dual image conditioning (CLIP-L spatial tokens + pooled vector
+    + DINOv2 tokens into self-attn), released DiT2-L/2 VAE.  Mirrors
+    ``scripts/gradio_app.py`` / reference
+    ``sample_obajverse_i23d_dit.sh:99-125``."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from ln3diff_tpu.config import RENDER_PRESETS, denoiser_preset, \
+        vae_preset
+    from ln3diff_tpu.conditioning.clip import CLIPVisionModel
+    from ln3diff_tpu.diffusion.transport import Transport, TransportSpec
+    from ln3diff_tpu.models.dit import DiT_TriLatent
+    from ln3diff_tpu.models.vae import TriplaneVAE
+    from ln3diff_tpu.models.vit import VisionTransformer, vit_registry
+    from ln3diff_tpu.pipeline import SamplerSpec, TextTo3DPipeline
+    from ln3diff_tpu.utils.misc import cast_floating
+
+    den_cfg = dataclasses.replace(denoiser_preset('i23d-pixart-l2'),
+                                  exact_gelu=False)
+    denoiser = DiT_TriLatent(den_cfg)
+    vae = TriplaneVAE(vae_preset('objaverse'))
+    vision = CLIPVisionModel()
+    dino = VisionTransformer(vit_registry('dinov2-b/14', img_size=224,
+                                          dtype=jnp.bfloat16))
+
+    x0 = jnp.zeros((2, 32, 32, 12))
+    ctx0 = {'crossattn': jnp.zeros((2, 257, 1024)),
+            'vector': jnp.zeros((2, 768)),
+            'dino': jnp.zeros((2, 257, den_cfg.dino_dim))}
+    den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0,
+                                      jnp.zeros((2,)), ctx0)
+    den_vars = cast_floating(den_vars, jnp.bfloat16)
+
+    render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
+    init_opts = dataclasses.replace(render_opts, depth_resolution=4,
+                                    depth_resolution_importance=4)
+    vae_vars = jax.jit(
+        lambda k: vae.init(k, jnp.zeros((1, 32, 32, 12)),
+                           jnp.zeros((1, 25)), init_opts, 8,
+                           method=vae.init_decoder_paths),
+    )(jax.random.PRNGKey(2))
+    vis_vars = jax.jit(vision.init)(jax.random.PRNGKey(3),
+                                    jnp.zeros((1, 224, 224, 3)))
+    dino_vars = jax.jit(dino.init)(jax.random.PRNGKey(4),
+                                   jnp.zeros((1, 224, 224, 3)))
+
+    pipeline = TextTo3DPipeline(
+        lambda p, x, t, c: denoiser.apply(p, x, t, c), den_vars,
+        lambda p, latents: vae.apply(p, latents, method=vae.decode_latent),
+        vae_vars,
+        lambda p, planes, cam: vae.apply(
+            p, planes, cam, render_opts, RENDER_RES, None,
+            use_fused_osg=True, method=vae.render)['image_raw'],
+        lambda p, planes, coords: vae.apply(
+            p, planes, coords, render_opts.box_warp, use_fused_osg=True,
+            method=vae.query_points),
+        sampler=SamplerSpec(kind='flow_matching', num_steps=DDIM_STEPS,
+                            cfg_scale=4.0),
+        transport=Transport(TransportSpec()),
+        render_dtype=jnp.bfloat16)
+
+    encode_img = jax.jit(
+        lambda vv, dv, img: (vision.apply(vv, img),
+                             dino.apply(dv, img.astype(jnp.bfloat16))))
+
+    def encode(prompt):
+        # deterministic synthetic input image per "prompt" (conditioning
+        # towers are random-init — content does not affect wall-clock)
+        seed = abs(hash(prompt)) % (2**31)
+        img = jax.random.uniform(jax.random.PRNGKey(seed),
+                                 (1, 224, 224, 3)) * 2.0 - 1.0
+        enc, dtok = encode_img(vis_vars, dino_vars, img)
+        dtok = dtok[:, :257].astype(jnp.float32)
+        cond = {'crossattn': enc['tokens'][:, :, :1024],
+                'vector': enc['pooler_output'][:, :768],
+                'dino': dtok}
+        uncond = {k: jnp.zeros_like(v) for k, v in cond.items()}
+        return cond, uncond
+
+    return pipeline, encode
+
+
+def _build_family():
+    if FAMILY == 't23d':
+        return _build_pipeline()
+    if FAMILY in ('shapenet', 'ffhq'):
+        return _build_unet_family(FAMILY)
+    if FAMILY == 'i23d':
+        return _build_i23d_family()
+    raise KeyError(FAMILY)
+
+
 def _staged_phases(pipeline, encode, trace, emit_partial):
     """Compile + measure each pipeline phase separately, streaming a
     measured-sum partial after every one.  Returns (phase_walls,
@@ -199,6 +459,8 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
 
     walls = {}
     dit_sps = mrays = None
+    cams = _orbit_cams()
+    enc_name, den_name = PHASE_NAMES[0], PHASE_NAMES[1]
 
     def timed(fn):
         t0 = time.perf_counter()
@@ -206,24 +468,24 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
         jax.block_until_ready(out)
         return out, time.perf_counter() - t0
 
-    # 1. text encode (tiny compile; warm measure after one compile call)
-    trace('phase text_encode: compile')
+    # 1. conditioning encode (tiny compile; warm measure after one call)
+    trace(f'phase {enc_name}: compile')
     encode('a wooden chair')
-    (cond, uncond), walls['text_encode'] = timed(
+    (cond, uncond), walls[enc_name] = timed(
         lambda: encode('a wooden chair'))
-    trace(f'text_encode {walls["text_encode"]:.3f}s')
+    trace(f'{enc_name} {walls[enc_name]:.3f}s')
     emit_partial(walls, dit_sps, mrays)
 
-    # 2. DiT 250-step DDIM scan (the dominant phase; ~15 s compile as a
-    # weight-stacked nn.scan)
-    trace('phase dit_sample: compile')
+    # 2. the 250-step denoise scan (the dominant phase; compiles as one
+    # weight-stacked nn.scan / lax loop)
+    trace(f'phase {den_name}: compile')
     key = jax.random.PRNGKey(7)
     lat = pipeline.sample_latents(key, 1, cond, uncond)
     jax.block_until_ready(lat)
-    lat, walls['dit_sample'] = timed(
+    lat, walls[den_name] = timed(
         lambda: pipeline.sample_latents(key, 1, cond, uncond))
-    dit_sps = DDIM_STEPS / walls['dit_sample']
-    trace(f'dit_sample {walls["dit_sample"]:.3f}s ({dit_sps:.1f} steps/s)')
+    dit_sps = DDIM_STEPS / walls[den_name]
+    trace(f'{den_name} {walls[den_name]:.3f}s ({dit_sps:.1f} steps/s)')
     emit_partial(walls, dit_sps, mrays)
 
     # 3. VAE decode latent -> planes
@@ -237,43 +499,56 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
     trace(f'vae_decode {walls["vae_decode"]:.3f}s')
     emit_partial(walls, dit_sps, mrays)
 
-    # 4. mesh: σ-grid query + host march + vertex colors, serial (an
-    # upper bound — the full run overlaps all host stages with render)
-    from ln3diff_tpu.render.mesh import dispatch_vertex_colors, march_grid
-    trace('phase mesh: compile')
-    # warm ALL the mesh-phase programs (σ query AND the vertex-color
-    # chunked map — same σ field → same bucketed vert count → same
-    # compiled program) so the timed pass is steady-state only
-    sg_warm = np.asarray(pipeline.dispatch_mesh_sigma(planes, MESH_GRID,
-                                                      smooth=True))
-    verts_warm, _ = march_grid(sg_warm, MESH_GRID)
-    dispatch_vertex_colors(pipeline._mesh_decoder(planes), verts_warm,
-                           as_uint8=True)
+    # 4. mesh (families with a mesh in the release protocol): σ-grid
+    # query + host march + vertex colors, serial (an upper bound — the
+    # full run overlaps all host stages with render)
+    if MESH_GRID:
+        from ln3diff_tpu.render.mesh import (dispatch_vertex_colors,
+                                             march_grid)
+        trace('phase mesh: compile')
+        # warm ALL the mesh-phase programs (σ query AND the vertex-color
+        # chunked map — same σ field → same bucketed vert count → same
+        # compiled program) so the timed pass is steady-state only
+        sg_warm = np.asarray(pipeline.dispatch_mesh_sigma(planes,
+                                                          MESH_GRID,
+                                                          smooth=True))
+        verts_warm, _ = march_grid(sg_warm, MESH_GRID)
+        dispatch_vertex_colors(pipeline._mesh_decoder(planes), verts_warm,
+                               as_uint8=True)
 
-    def mesh_serial():
-        sg = np.asarray(pipeline.dispatch_mesh_sigma(planes, MESH_GRID,
-                                                     smooth=True))
-        verts, faces = march_grid(sg, MESH_GRID)
-        rgb = dispatch_vertex_colors(pipeline._mesh_decoder(planes), verts,
-                                     as_uint8=True)
-        return rgb if rgb is not None else verts
+        def mesh_serial():
+            sg = np.asarray(pipeline.dispatch_mesh_sigma(planes,
+                                                         MESH_GRID,
+                                                         smooth=True))
+            verts, faces = march_grid(sg, MESH_GRID)
+            rgb = dispatch_vertex_colors(pipeline._mesh_decoder(planes),
+                                         verts, as_uint8=True)
+            return rgb if rgb is not None else verts
 
-    _, walls['mesh'] = timed(mesh_serial)
-    trace(f'mesh {walls["mesh"]:.3f}s (serial upper bound)')
-    emit_partial(walls, dit_sps, mrays)
+        _, walls['mesh'] = timed(mesh_serial)
+        trace(f'mesh {walls["mesh"]:.3f}s (serial upper bound)')
+        emit_partial(walls, dit_sps, mrays)
 
-    # 5. render: single 192² frame (the ~400 s cold-compile program),
-    # then the remaining 23 measured as one group
+    # 5. render: single frame first (the long-pole cold compile), then
+    # the full orbit measured 3× with a min — the Mrays metric was the
+    # one artifact swinging with host/tunnel jitter (round-4 weak #3);
+    # min matches the wall metric's min-over-runs policy.
     trace('phase render: compile (the long pole cold — ~400 s uncached)')
     f0 = pipeline.render_orbit(planes, NUM_FRAMES,
                                render_resolution=RENDER_RES,
-                               frame_slice=(0, 1))
+                               frame_slice=(0, 1), cameras=cams)
     jax.block_until_ready(f0)
-    _, t_orbit = timed(lambda: pipeline.render_orbit(
-        planes, NUM_FRAMES, render_resolution=RENDER_RES))
+    t_runs = []
+    for _ in range(3):
+        _, t_i = timed(lambda: pipeline.render_orbit(
+            planes, NUM_FRAMES, render_resolution=RENDER_RES,
+            cameras=cams))
+        t_runs.append(t_i)
+    t_orbit = min(t_runs)
     walls['render'] = t_orbit
     mrays = NUM_FRAMES * RENDER_RES * RENDER_RES / t_orbit / 1e6
-    trace(f'render orbit {t_orbit:.3f}s ({mrays:.1f} Mrays/s)')
+    trace(f'render orbit {t_orbit:.3f}s min of '
+          f'{[round(t, 3) for t in t_runs]} ({mrays:.1f} Mrays/s)')
     emit_partial(walls, dit_sps, mrays)
     return walls, dit_sps, mrays
 
@@ -293,8 +568,8 @@ def main():
               file=sys.stderr, flush=True)
 
     trace(f'compile cache: {cache_dir}')
-    trace('building models')
-    pipeline, encode = _build_pipeline()
+    trace(f'building models (family={FAMILY})')
+    pipeline, encode = _build_family()
     trace('built; staged cold pass (compiles each phase, streams partials)')
 
     def emit_partial(walls, dit_sps, mrays):
@@ -303,6 +578,8 @@ def main():
     walls_by_phase, dit_sps, mrays = _staged_phases(
         pipeline, encode, trace, emit_partial)
 
+    cams = _orbit_cams()
+
     def run(prompt: str, seed: int) -> float:
         import jax
         t0 = time.perf_counter()
@@ -310,10 +587,11 @@ def main():
         with tempfile.TemporaryDirectory() as td:
             out = pipeline(jax.random.PRNGKey(seed), cond, uncond, batch=1,
                            num_frames=NUM_FRAMES,
-                           mesh_path=os.path.join(td, 'm.obj'),
-                           mesh_grid=MESH_GRID,
+                           mesh_path=os.path.join(td, 'm.obj')
+                           if MESH_GRID else None,
+                           mesh_grid=MESH_GRID or 192,
                            render_resolution=RENDER_RES,
-                           video_uint8=True)
+                           video_uint8=True, cameras=cams)
             np.asarray(out['video'])  # drain device
         return time.perf_counter() - t0
 
@@ -416,13 +694,15 @@ def _parent():
     else:
         # degraded: no child produced any line (crash before the FIRST
         # staged phase) — still print a parseable record of the failure.
-        _emit({'metric': 'text_to_mesh_wall_clock', 'value': None,
+        _emit({'metric': SPEC['metric'], 'value': None,
                'unit': 'FAILED: no bench child produced a result within '
                        f'{deadline:.0f}s',
                'vs_baseline': 0.0})
 
 
 if __name__ == '__main__':
+    if '--family' in sys.argv:        # equivalent: LN3DIFF_BENCH_FAMILY
+        _apply_family(sys.argv[sys.argv.index('--family') + 1])
     if '--child' in sys.argv:
         main()
     else:
