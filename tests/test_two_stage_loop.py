@@ -1,0 +1,172 @@
+"""Two-stage CLOSED-LOOP convergence test (round-5, VERDICT #3).
+
+The reference's end-to-end evidence is its released checkpoints + sample
+sets (``README.md:341``); ours must be a convergence test.  This runs
+the full LN3Diff loop with entirely self-trained weights and
+quantitative gates at every stage:
+
+  1. stage-1 VAE overfit on ``load_memory_data`` (the reference's
+     overfit mode, ``datasets/shapenet.py:221``) → gated HELD-OUT-view
+     PSNR improvement;
+  2. latent extraction through the stage-1→stage-2 bridge (reference
+     ``nsr/train_nv_util.py:1177``);
+  3. stage-2 denoiser overfit on the dumped latents → gated loss drop;
+  4. unconditional sampling → VAE decode → render;
+  5. gate: the sampled latents land near the training distribution and
+     the sampled renders land near the stage-1 reconstructions.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ln3diff_tpu.data.synthetic import load_memory_data
+from ln3diff_tpu.diffusion.transport import Transport, TransportSpec
+from ln3diff_tpu.models.dit import DiT_TriLatent, DiTConfig
+from ln3diff_tpu.parallel.mesh import MeshConfig, make_mesh
+from ln3diff_tpu.pipeline import SamplerSpec, TextTo3DPipeline
+from ln3diff_tpu.render.renderer import RenderOptions
+from ln3diff_tpu.training.ldm_trainer import LDMTrainConfig, LDMTrainer
+from ln3diff_tpu.training.losses import LossConfig
+from ln3diff_tpu.training.vae_trainer import VAETrainConfig, VAETrainer
+
+from test_training import tiny_vae_cfg
+
+pytestmark = pytest.mark.slow
+
+
+def _psnr(a, b):
+    mse = float(jnp.mean((a - b) ** 2))
+    return 10.0 * np.log10(4.0 / mse)        # images live in [-1, 1]
+
+
+class TestTwoStageClosedLoop:
+
+    def test_train_bridge_train_sample_render(self):
+        mesh = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
+        opts = RenderOptions(depth_resolution=8,
+                             depth_resolution_importance=8,
+                             ray_start='auto', ray_end='auto',
+                             box_warp=1.0, filter_out_of_bbox=True)
+
+        # ---- stage 1: VAE overfit with nv supervision ------------------
+        trainer = VAETrainer(
+            tiny_vae_cfg(),
+            VAETrainConfig(lr=3e-3, patch_resolution=16,
+                           render_resolution=16, supervise_views='nv',
+                           log_interval=10**9),
+            LossConfig(depth_lambda=0.0, lpips_lambda=0.0),
+            render_opts=opts, mesh=mesh, seed=0)
+        data = load_memory_data(1, num_views=2, resolution=32,
+                                render_resolution=16, num_views_sup=2)
+        raw = next(data)
+        batch = trainer.prepare_batch(raw)
+        trainer.build(raw)
+
+        vae = trainer.model
+
+        def recon(state):
+            """Held-out novel-view reconstruction through the full
+            encode→reparam(mean)→decode→render path."""
+            variables = {'params': state.params, **(state.constants or {})}
+            moments = vae.apply(variables, batch['img_to_encoder'],
+                                method=vae.encode)
+            latent, _ = vae.apply(variables, moments, None, False,
+                                  method=vae.reparameterize)
+            planes = vae.apply(variables, latent, method=vae.decode_latent)
+            planes_v = jnp.repeat(planes, 2, axis=0)
+            out = vae.apply(variables, planes_v, batch['nv_c'], opts, 16,
+                            None, method=vae.render)
+            return latent, out['image_raw']
+
+        _, img_before = recon(trainer._state)
+        psnr_before = _psnr(img_before, batch['nv_img'])
+        state = trainer._state
+        for i in range(60):
+            b = trainer.prepare_batch(next(data))
+            state, metrics = trainer._step_fn(
+                state, b, jax.random.fold_in(jax.random.PRNGKey(3), i))
+        assert np.isfinite(float(metrics['loss']))
+        latent, img_rec = recon(state)
+        psnr_rec = _psnr(img_rec, batch['nv_img'])
+        # gate 1: stage-1 actually LEARNED the scene (held-out view)
+        assert psnr_rec > psnr_before + 2.0, (psnr_before, psnr_rec)
+
+        # ---- bridge: dump the (mean) latent like eval_novelview_loop ---
+        latent_np = np.asarray(latent)           # (1, 16, 16, 12)
+        assert np.isfinite(latent_np).all()
+        lat_std = float(latent_np.std())
+        assert lat_std > 1e-3                     # a live latent code
+
+        # ---- stage 2: denoiser overfit on the dumped latent ------------
+        den_cfg = DiTConfig(input_size=16, patch_size=2, in_channels=4,
+                            hidden_size=64, depth=2, num_heads=4,
+                            variant='text', context_dim=16,
+                            dtype=jnp.float32)
+        denoiser = DiT_TriLatent(den_cfg)
+        ldm = LDMTrainer(denoiser,
+                         LDMTrainConfig(objective='flow_matching', lr=2e-3,
+                                        triplane_scaling_divider=1.0,
+                                        log_interval=10**9),
+                         mesh=mesh, seed=0)
+        ctx = {'crossattn': np.zeros((1, 7, 16), np.float32)}
+        ldm_batch = {'latent': latent_np, 'context': ctx}
+        ldm.build(ldm_batch)
+        ldm_state = ldm._state
+        ldm_losses = []
+        for i in range(600):
+            ldm_state, m = ldm._step_fn(
+                ldm_state, ldm_batch,
+                jax.random.fold_in(jax.random.PRNGKey(11), i))
+            ldm_losses.append(float(m['loss']))
+        assert np.isfinite(ldm_losses).all()
+        # gate 2: stage-2 LEARNED the latent distribution
+        assert np.mean(ldm_losses[-10:]) < 0.3 * np.mean(ldm_losses[:10]), \
+            (np.mean(ldm_losses[:10]), np.mean(ldm_losses[-10:]))
+
+        # ---- sample unconditionally → decode → render ------------------
+        vae_vars = {'params': state.params, **(state.constants or {})}
+        den_vars = {'params': ldm_state.params,
+                    **(ldm_state.constants or {})}
+        pipeline = TextTo3DPipeline(
+            lambda p, x, t, c: denoiser.apply(p, x, t, c), den_vars,
+            lambda p, latents: vae.apply(p, latents,
+                                         method=vae.decode_latent),
+            vae_vars,
+            lambda p, planes, cam: vae.apply(
+                p, planes, cam, opts, 16, None,
+                method=vae.render)['image_raw'],
+            lambda p, planes, coords: vae.apply(
+                p, planes, coords, opts.box_warp,
+                method=vae.query_points),
+            sampler=SamplerSpec(kind='flow_matching', num_steps=50,
+                                cfg_scale=1.0,
+                                triplane_scaling_divider=1.0,
+                                latent_shape=(16, 16, 12)),
+            transport=Transport(TransportSpec()))
+        zero_ctx = {'crossattn': jnp.zeros((1, 7, 16))}
+        sampled = pipeline.sample_latents(jax.random.PRNGKey(5), 1,
+                                          zero_ctx, zero_ctx)
+        # gate 3: sampled latents land near the (single-point) training
+        # distribution — the overfit FM velocity field transports noise
+        # onto the training latent
+        rel = float(jnp.linalg.norm(sampled - latent)
+                    / jnp.linalg.norm(latent))
+        assert rel < 0.5, rel
+
+        # gate 4: rendered sampled latents land near the stage-1
+        # reconstructions of the scene (and hence near the GT views)
+        planes_s = pipeline._decode_jit(vae_vars, sampled)
+        planes_v = jnp.repeat(planes_s, 2, axis=0)
+        out_s = vae.apply(vae_vars, planes_v, batch['nv_c'], opts, 16,
+                          None, method=vae.render)
+        psnr_sampled = _psnr(out_s['image_raw'], batch['nv_img'])
+        assert psnr_sampled > psnr_before + 1.0, (
+            psnr_before, psnr_rec, psnr_sampled)
+        # the sampled render should track the deterministic recon within
+        # a few dB (sampling noise + ODE discretization)
+        assert psnr_sampled > psnr_rec - 6.0, (psnr_rec, psnr_sampled)
