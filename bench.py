@@ -462,15 +462,27 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
     cams = _orbit_cams()
     enc_name, den_name = PHASE_NAMES[0], PHASE_NAMES[1]
 
+    def drain(out):
+        # block_until_ready is UNRELIABLE over the axon tunnel (it
+        # returned instantly for the i23d FM scan, recording 0.000 s
+        # phases); draining one scalar per output leaf through a host
+        # read forces real completion at µs cost.
+        jax.block_until_ready(out)
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, 'ndim') and getattr(leaf, 'size', 0):
+                np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+        return out
+
     def timed(fn):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        out = drain(fn())
         return out, time.perf_counter() - t0
 
-    # 1. conditioning encode (tiny compile; warm measure after one call)
+    # 1. conditioning encode (tiny compile; warm measure after one call;
+    # the drain also flushes any queued model-init work so it cannot
+    # land in this phase's wall)
     trace(f'phase {enc_name}: compile')
-    encode('a wooden chair')
+    drain(encode('a wooden chair'))
     (cond, uncond), walls[enc_name] = timed(
         lambda: encode('a wooden chair'))
     trace(f'{enc_name} {walls[enc_name]:.3f}s')
@@ -480,8 +492,7 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
     # weight-stacked nn.scan / lax loop)
     trace(f'phase {den_name}: compile')
     key = jax.random.PRNGKey(7)
-    lat = pipeline.sample_latents(key, 1, cond, uncond)
-    jax.block_until_ready(lat)
+    drain(pipeline.sample_latents(key, 1, cond, uncond))
     lat, walls[den_name] = timed(
         lambda: pipeline.sample_latents(key, 1, cond, uncond))
     dit_sps = DDIM_STEPS / walls[den_name]
@@ -490,8 +501,7 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
 
     # 3. VAE decode latent -> planes
     trace('phase vae_decode: compile')
-    planes = pipeline._decode_jit(pipeline.vae_params, lat)
-    jax.block_until_ready(planes)
+    drain(pipeline._decode_jit(pipeline.vae_params, lat))
     planes, walls['vae_decode'] = timed(
         lambda: pipeline._decode_jit(pipeline.vae_params, lat))
     if pipeline.render_dtype is not None:
@@ -513,8 +523,8 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
                                                           MESH_GRID,
                                                           smooth=True))
         verts_warm, _ = march_grid(sg_warm, MESH_GRID)
-        dispatch_vertex_colors(pipeline._mesh_decoder(planes), verts_warm,
-                               as_uint8=True)
+        drain(dispatch_vertex_colors(pipeline._mesh_decoder(planes),
+                                     verts_warm, as_uint8=True))
 
         def mesh_serial():
             sg = np.asarray(pipeline.dispatch_mesh_sigma(planes,
@@ -534,10 +544,9 @@ def _staged_phases(pipeline, encode, trace, emit_partial):
     # one artifact swinging with host/tunnel jitter (round-4 weak #3);
     # min matches the wall metric's min-over-runs policy.
     trace('phase render: compile (the long pole cold — ~400 s uncached)')
-    f0 = pipeline.render_orbit(planes, NUM_FRAMES,
-                               render_resolution=RENDER_RES,
-                               frame_slice=(0, 1), cameras=cams)
-    jax.block_until_ready(f0)
+    drain(pipeline.render_orbit(planes, NUM_FRAMES,
+                                render_resolution=RENDER_RES,
+                                frame_slice=(0, 1), cameras=cams))
     t_runs = []
     for _ in range(3):
         _, t_i = timed(lambda: pipeline.render_orbit(

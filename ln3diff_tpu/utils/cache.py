@@ -17,6 +17,16 @@ wrong program.
 Override with ``LN3DIFF_XLA_CACHE=/path`` (or ``=0`` to disable); falls
 back to ``~/.cache/ln3diff_tpu/xla_cache`` when the repo dir is not
 writable (e.g. read-only installs).
+
+Operational note (round-4 advisor): committing compiled blobs to git is
+deliberate, driver-environment-specific debt — entries are useless on
+any other machine/jax version (dead weight, not wrong results).  For a
+normal deployment, gitignore ``.xla_cache`` and ship a warm cache as a
+build artifact / via LFS instead; the repo keeps it in-tree only
+because the round driver's fresh-``$HOME`` bench leaves no other
+surviving storage.  Discipline that goes with it: any edit on the
+bench's traced path invalidates entries (HLO-keyed) — re-run
+``python bench.py`` and commit the fresh entries before round end.
 """
 
 from __future__ import annotations
