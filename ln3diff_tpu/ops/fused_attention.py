@@ -90,3 +90,106 @@ def sdpa_auto(q, k, v, use_fused: bool = False):
     if use_fused and jax.default_backend() == 'tpu':
         return fused_attention(q, k, v)
     return jax.nn.dot_product_attention(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# round-5: the qkv+attention MEGA-KERNEL attempt (VERDICT r4 #6) — fuse
+# the qkv projection INTO the attention kernel so q/k/v never round-trip
+# HBM and the (B, L, H, d) head reshape copies disappear.  The out
+# projection stays in XLA (it fuses with the residual add; folding it in
+# would push the VMEM working set past 16 MB).
+# ---------------------------------------------------------------------------
+
+
+def _qkv_attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                     bv_ref, o_ref, *, scale: float):
+    """One grid step = one (batch, head) pair.  The head's (D, d)
+    weight slices stream per step (Mosaic double-buffers them while the
+    x block stays resident across the head-major inner grid axis); the
+    first all-grid VMEM attempt (whole (H, D, d) weights resident)
+    OOMed scoped vmem at 20.8 MB vs the 16 MB limit."""
+    x = x_ref[0]                                     # (L, D) bf16
+    # biases ride as full (H, d) blocks — a (1, d) block violates the
+    # (8, 128) sublane tiling rule, and a dynamic sublane index must be
+    # a multiple of 8; a one-hot masked reduce selects row h instead
+    # (H·d elems, trivial VPU cost)
+    h = pl.program_id(1)
+    onehot = (jax.lax.broadcasted_iota(
+        jnp.int32, bq_ref.shape, 0) == h).astype(jnp.float32)
+
+    def bias_row(b_ref):
+        return jnp.sum(b_ref[:].astype(jnp.float32) * onehot, axis=0)
+
+    q = jax.lax.dot_general(
+        x, wq_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias_row(bq_ref)
+    k = jax.lax.dot_general(
+        x, wk_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias_row(bk_ref)
+    v = jax.lax.dot_general(
+        x, wv_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias_row(bv_ref)
+    s = jax.lax.dot_general(
+        q.astype(x.dtype), k.astype(x.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # (L, L) f32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+    o = jax.lax.dot_general(
+        p, v.astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (L, d)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('num_heads', 'interpret'))
+def fused_qkv_attention(x, wq, wk, wv, bq, bk, bv, num_heads: int,
+                        interpret: bool = False):
+    """qkv projection + multi-head attention in ONE Pallas kernel.
+
+    Args:
+      x: ``(B, L, D)``; wq/wk/wv: head-major ``(H, D, d)`` (see
+        :func:`split_qkv_weights`); bq/bk/bv: ``(H, d)``.
+    Returns:
+      ``(B, L, D)`` — heads re-concatenated, BEFORE the out projection.
+
+    VMEM/step at DiT-L serving shapes (L=768, D=1024, H=16, d=64):
+    x 1.5 MB + 3×(D, d) weight blocks (0.4 MB, double-buffered) + f32
+    scores 2.25 MB + q/k/v/out transients ≈ 6 MB.
+    """
+    B, L, D = x.shape
+    H = num_heads
+    d = D // H
+    scale = 1.0 / (d ** 0.5)
+    xb = pl.BlockSpec((1, L, D), lambda b, h: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
+    wb = pl.BlockSpec((1, D, d), lambda b, h: (h, 0, 0),
+                      memory_space=pltpu.VMEM)
+    bb = pl.BlockSpec((H, d), lambda b, h: (0, 0),
+                      memory_space=pltpu.VMEM)
+    ob = pl.BlockSpec((1, 1, L, d), lambda b, h: (b, h, 0, 0),
+                      memory_space=pltpu.VMEM)
+    o = pl.pallas_call(
+        functools.partial(_qkv_attn_kernel, scale=scale),
+        grid=(B, H),
+        in_specs=[xb, wb, wb, wb, bb, bb, bb],
+        out_specs=ob,
+        out_shape=jax.ShapeDtypeStruct((B, H, L, d), x.dtype),
+        interpret=interpret,
+    )(x, wq, wk, wv, bq, bk, bv)
+    return o.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+
+def split_qkv_weights(kernel, bias, num_heads: int):
+    """Stock qkv ``nn.Dense`` params ``(D, 3D)``/``(3D,)`` → head-major
+    ``(wq, wk, wv)`` ``(H, D, d)`` + ``(bq, bk, bv)`` ``(H, d)``.  A
+    one-time serving-side layout transform (do NOT trace per step)."""
+    D = kernel.shape[0]
+    d = D // num_heads
+    ws, bs = [], []
+    for i in range(3):
+        w = kernel[:, i * D:(i + 1) * D].reshape(D, num_heads, d)
+        ws.append(jnp.transpose(w, (1, 0, 2)))       # (H, D, d)
+        bs.append(bias[i * D:(i + 1) * D].reshape(num_heads, d)
+                  if bias is not None else
+                  jnp.zeros((num_heads, d), kernel.dtype))
+    return tuple(ws), tuple(bs)
