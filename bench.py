@@ -390,6 +390,12 @@ def _build_i23d_family():
     den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0,
                                       jnp.zeros((2,)), ctx0)
     den_vars = cast_floating(den_vars, jnp.bfloat16)
+    if os.environ.get('LN3DIFF_BENCH_INT8') == '1':
+        # opt-in W8A8 serving for the i23d DiT too (same quality caveats
+        # as t23d — TPU_PERF_NOTES int8 section; bf16 stays the default)
+        from ln3diff_tpu.ops.int8 import quantize_dit
+        denoiser, den_vars = quantize_dit(den_cfg, den_vars, x0,
+                                          jnp.zeros((2,)), ctx0)
 
     render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
     init_opts = dataclasses.replace(render_opts, depth_resolution=4,
