@@ -5,7 +5,7 @@ Pipeline measured at the REFERENCE output spec (BASELINE.md: Objaverse
 renders 192², meshes 192³; ``render_video_given_triplane``
 ``nsr/train_util_diffusion.py:208-249``): CLIP-text encode → 250-step
 DDIM scan over DiT-L/2 (CFG-doubled) → DiT2-L/2 VAE decode to
-(3, 256, 256, 32) planes → 24-frame 192² orbit render → 192³
+(3, 128, 128, 32) planes (reference ditDecoder conv_sr resolution=128, vit_triplane.py:2020) → 24-frame 192² orbit render → 192³
 marching-tetrahedra mesh export.
 
 Driver contract: prints JSON lines {"metric", "value", "unit",

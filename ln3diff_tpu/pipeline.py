@@ -125,7 +125,13 @@ class TextTo3DPipeline:
 
     # -- latent sampling ---------------------------------------------------
 
-    def _sample_impl(self, params, key, cond, uncond, batch: int):
+    def _sample_impl(self, params, mixing_logit, key, cond, uncond,
+                     batch: int):
+        # mixing_logit flows as an EXPLICIT jit argument: closing over
+        # the device array embeds it as an HLO constant at lowering
+        # (mlir.ir_constant pulls it to host — the exact anti-pattern
+        # the module docstring bans; it surfaced as a RESOURCE_EXHAUSTED
+        # read-back in the FFHQ preset CLI).
         spec = self.spec
         shape = (batch,) + tuple(spec.latent_shape)
 
@@ -148,13 +154,13 @@ class TextTo3DPipeline:
         elif spec.kind == 'ddim':
             assert self.diffusion is not None
             x = self.diffusion.ddim_sample_loop(
-                cfg_fn, shape, key, mixing_logit=self.mixing_logit)
+                cfg_fn, shape, key, mixing_logit=mixing_logit)
         elif spec.kind == 'plms':
             # pseudo linear multistep over the (possibly respaced)
             # schedule — pass a respaced diffusion to control NFE.
             assert self.diffusion is not None
             x = self.diffusion.plms_sample_loop(
-                cfg_fn, shape, key, mixing_logit=self.mixing_logit)
+                cfg_fn, shape, key, mixing_logit=mixing_logit)
         elif spec.kind == 'dpm':
             # DPM-Solver++(2M): spec.num_steps solver steps over the FULL
             # (unspaced) schedule — pass a diffusion WITHOUT respacing.
@@ -162,7 +168,7 @@ class TextTo3DPipeline:
             assert self.diffusion is not None
             x = dpm_solver_sample_loop(self.diffusion, cfg_fn, shape, key,
                                        num_steps=spec.num_steps,
-                                       mixing_logit=self.mixing_logit)
+                                       mixing_logit=mixing_logit)
         else:
             raise NotImplementedError(spec.kind)
         return x * spec.triplane_scaling_divider
@@ -188,8 +194,8 @@ class TextTo3DPipeline:
 
     def sample_latents(self, key, batch: int, cond, uncond):
         """CFG-doubled sampling → latents (B, h, w, C), one jitted scan."""
-        return self._sample_jit(self.denoiser_params, key, cond, uncond,
-                                batch)
+        return self._sample_jit(self.denoiser_params, self.mixing_logit,
+                                key, cond, uncond, batch)
 
     # -- decode + render ---------------------------------------------------
 

@@ -125,7 +125,12 @@ def main():
     text_model = CLIPTextModel()
     tokenizer = default_tokenizer(args.clip_vocab or None)
 
-    x0 = jnp.zeros((2, 32, 32, 12))
+    # latent geometry follows the VAE preset (FFHQ is 16x16x12 — its
+    # ldm_upsample is per-token Linear over a 16² token grid; Objaverse/
+    # ShapeNet are 32x32x12)
+    lat_hw = vae_preset(args.vae).latent_size
+    lat_c = vae_preset(args.vae).latent_channels
+    x0 = jnp.zeros((2, lat_hw, lat_hw, lat_c))
     t0 = jnp.zeros((2,))
     ctx0 = {'crossattn': jnp.zeros((2, 77, den_cfg.context_dim))}
     init_ctx = ctx0['crossattn'] if is_lsgm_unet else ctx0
@@ -201,6 +206,7 @@ def main():
             else 'flow_matching',
             num_steps=args.num_steps,
             cfg_scale=args.unconditional_guidance_scale,
+            latent_shape=(lat_hw, lat_hw, lat_c),
             **({'triplane_scaling_divider':
                 args.triplane_scaling_divider}
                if args.triplane_scaling_divider is not None else {})),

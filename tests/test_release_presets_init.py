@@ -107,3 +107,31 @@ class TestDenoiserInit:
                 ctx = {'crossattn': jnp.zeros((1, 77, 768))}
             v = jax.eval_shape(model.init, key, x, t, ctx)
         assert _n_leaves(v['params']) > 20
+
+
+class TestLatentGeometryContract:
+    """The sampler's latent shape must match each VAE preset's
+    ``decode_latent`` contract (round-5: the FFHQ preset CLI sampled
+    (32, 32, 12) latents into the 16x16-token FFHQ decoder and died on
+    a pos_embed shape mismatch — lock the geometry at trace cost)."""
+
+    @pytest.mark.parametrize('kind', VAE_KINDS)
+    def test_decode_latent_accepts_preset_latent(self, kind):
+        from ln3diff_tpu.config import build_vae
+        cfg = vae_preset(kind)
+        model = build_vae(cfg)
+        lat = jnp.zeros((1, cfg.latent_size, cfg.latent_size,
+                         cfg.latent_channels))
+        key = jax.random.PRNGKey(0)
+        v = jax.eval_shape(
+            lambda k: model.init(k, lat, method=model.decode_latent), key)
+        planes = jax.eval_shape(
+            lambda vv: model.apply(vv, lat, method=model.decode_latent),
+            v)
+        # released plane resolutions: the objaverse ditDecoder's conv_sr
+        # is Decoder(resolution=128, ...) — 16² tokens × ch_mult
+        # [1,2,2,4] → 128² (reference vit_triplane.py:2020-2032; the
+        # class NAME says 256 but 256 is commented out upstream);
+        # fusionv5/4XC_final unpatchify+RodinConv4X → 256².
+        want = {'objaverse': 128, 'shapenet': 256, 'ffhq': 256}[kind]
+        assert planes.shape[:4] == (1, 3, want, want), planes.shape
