@@ -91,6 +91,17 @@ FAMILY_SPECS = {
         desc='image -> 250-step FM-ODE DiT-PixArt-L/2 CFG 4.0 (CLIP '
              'image tokens + pooled vector) -> VAE decode -> 24x192^2 '
              'orbit render -> 192^3 mesh'),
+    # sample_obajverse_mv23d_dit.sh: MV-L/2 multi-view→3D FM, cfg 4.0,
+    # 4-view DINO tokens via cross-attn (MVCond_noClip), 192² spec
+    'mv23d': dict(
+        metric='mv_to_mesh_wall_clock_mv23d',
+        phases=('image_encode', 'dit_sample', 'vae_decode', 'mesh',
+                'render'),
+        frames=24, ray_res=192, out_res=192, mesh_grid=192, steps=250,
+        camera=None,
+        desc='4 views -> 250-step FM-ODE DiT-PixArt-MV-L/2 CFG 4.0 '
+             '(flattened multi-view DINOv2 tokens, no CLIP) -> VAE '
+             'decode -> 24x192^2 orbit render -> 192^3 mesh'),
 }
 
 def _apply_family(name):
@@ -461,6 +472,79 @@ def _build_i23d_family():
     return pipeline, encode
 
 
+def _build_mv23d_family():
+    """Objaverse mv23d released config: DiT-PixArt-MV-L/2 flow-matching
+    ODE conditioned on FOUR posed views' DINOv2 tokens flattened into
+    one cross-attn context (no CLIP — reference ``MVCond_noClip``,
+    ``dit/dit_i23d.py:693``; ``sample_obajverse_mv23d_dit.sh:88,124``)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from ln3diff_tpu.config import RENDER_PRESETS, denoiser_preset, \
+        vae_preset
+    from ln3diff_tpu.diffusion.transport import Transport, TransportSpec
+    from ln3diff_tpu.models.dit import DiT_TriLatent
+    from ln3diff_tpu.models.vae import TriplaneVAE
+    from ln3diff_tpu.models.vit import VisionTransformer, vit_registry
+    from ln3diff_tpu.pipeline import SamplerSpec, TextTo3DPipeline
+    from ln3diff_tpu.utils.misc import cast_floating
+
+    den_cfg = dataclasses.replace(denoiser_preset('mv23d-dit-l2'),
+                                  exact_gelu=False)
+    denoiser = DiT_TriLatent(den_cfg)
+    vae = TriplaneVAE(vae_preset('objaverse'))
+    dino = VisionTransformer(vit_registry('dinov2-b/14', img_size=224,
+                                          dtype=jnp.bfloat16))
+
+    V = 4
+    x0 = jnp.zeros((2, 32, 32, 12))
+    ctx0 = {'crossattn': jnp.zeros((2, V * 257, 768))}
+    den_vars = jax.jit(denoiser.init)(jax.random.PRNGKey(1), x0,
+                                      jnp.zeros((2,)), ctx0)
+    den_vars = cast_floating(den_vars, jnp.bfloat16)
+
+    render_opts = RENDER_PRESETS['objverse_tuneray_aug_resolution_64_64_auto']
+    init_opts = dataclasses.replace(render_opts, depth_resolution=4,
+                                    depth_resolution_importance=4)
+    vae_vars = jax.jit(
+        lambda k: vae.init(k, jnp.zeros((1, 32, 32, 12)),
+                           jnp.zeros((1, 25)), init_opts, 8,
+                           method=vae.init_decoder_paths),
+    )(jax.random.PRNGKey(2))
+    dino_vars = jax.jit(dino.init)(jax.random.PRNGKey(4),
+                                   jnp.zeros((1, 224, 224, 3)))
+
+    pipeline = TextTo3DPipeline(
+        lambda p, x, t, c: denoiser.apply(p, x, t, c), den_vars,
+        lambda p, latents: vae.apply(p, latents, method=vae.decode_latent),
+        vae_vars,
+        lambda p, planes, cam: vae.apply(
+            p, planes, cam, render_opts, RENDER_RES, None,
+            use_fused_osg=True, method=vae.render)['image_raw'],
+        lambda p, planes, coords: vae.apply(
+            p, planes, coords, render_opts.box_warp, use_fused_osg=True,
+            method=vae.query_points),
+        sampler=SamplerSpec(kind='flow_matching', num_steps=DDIM_STEPS,
+                            cfg_scale=4.0),
+        transport=Transport(TransportSpec()),
+        render_dtype=jnp.bfloat16)
+
+    encode_mv = jax.jit(
+        lambda dv, imgs: dino.apply(dv, imgs.astype(jnp.bfloat16)))
+
+    def encode(prompt):
+        seed = abs(hash(prompt)) % (2**31)
+        imgs = jax.random.uniform(jax.random.PRNGKey(seed),
+                                  (V, 224, 224, 3)) * 2.0 - 1.0
+        tok = encode_mv(dino_vars, imgs)[:, :257]         # (V, 257, 768)
+        flat = tok.reshape(1, V * 257, 768).astype(jnp.float32)
+        cond = {'crossattn': flat}
+        return cond, {'crossattn': jnp.zeros_like(flat)}
+
+    return pipeline, encode
+
+
 def _build_family():
     if FAMILY == 't23d':
         return _build_pipeline()
@@ -468,6 +552,8 @@ def _build_family():
         return _build_unet_family(FAMILY)
     if FAMILY == 'i23d':
         return _build_i23d_family()
+    if FAMILY == 'mv23d':
+        return _build_mv23d_family()
     raise KeyError(FAMILY)
 
 
