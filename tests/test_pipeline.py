@@ -221,6 +221,43 @@ class TestTextTo3DPipeline:
         assert out['video'].shape == (1, 2, 16, 16, 3)
         assert np.isfinite(out['latents']).all()
 
+    def test_mv23d_family_assembly(self):
+        """The mv23d bench-family assembly at tiny scale: 4 views'
+        DINO-token contexts flattened into one cross-attn stream
+        (variant 'mv-pixelart', reference MVCond_noClip) through the
+        FM-ODE sampler (bench.py ``_build_mv23d_family``)."""
+        den_cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                            hidden_size=32, depth=2, num_heads=2,
+                            variant='mv-pixelart', context_dim=16,
+                            dtype=jnp.float32)
+        denoiser = DiT_TriLatent(den_cfg)
+        V, L, C = 4, 5, 16
+        ctx0 = {'crossattn': jnp.zeros((1, V * L, C))}
+        den_vars = denoiser.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 8, 8, 12)),
+                                 jnp.zeros((1,)), ctx0)
+        pipeline = TextTo3DPipeline(
+            lambda p, x, t, c: denoiser.apply(p, x, t, c), den_vars,
+            None, None, None, None,
+            sampler=SamplerSpec(kind='flow_matching', num_steps=4,
+                                cfg_scale=4.0, latent_shape=(8, 8, 12)))
+        cond = {'crossattn': jnp.ones((1, V * L, C)) * 0.2}
+        uncond = {'crossattn': jnp.zeros((1, V * L, C))}
+        lat = pipeline.sample_latents(jax.random.PRNGKey(1), 1, cond,
+                                      uncond)
+        assert lat.shape == (1, 8, 8, 12)
+        assert np.isfinite(np.asarray(lat)).all()
+        # the (B, V, L, C) form must flatten identically (the builder
+        # pre-flattens; the model accepts either)
+        cond4 = {'crossattn': cond['crossattn'].reshape(1, V, L, C),
+                 'concat': cond['crossattn'].reshape(1, V, L, C)}
+        y_flat = denoiser.apply(den_vars, jnp.ones((1, 8, 8, 12)),
+                                jnp.ones((1,)), cond)
+        y_4d = denoiser.apply(den_vars, jnp.ones((1, 8, 8, 12)),
+                              jnp.ones((1,)), cond4)
+        np.testing.assert_allclose(np.asarray(y_4d), np.asarray(y_flat),
+                                   atol=1e-6)
+
     def test_render_dtype_serving_matches_f32(self, tmp_path):
         """``render_dtype=bf16`` (the serving knob: bf16 gather table +
         bf16 kernel lerp) must track the f32 path closely and keep the
