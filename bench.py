@@ -743,6 +743,12 @@ def _rank(cand):
     return (0, 0, cand['value'])
 
 
+def _child_cmd():
+    """Child invocation (separated so the kill-mid-phase contract test
+    can substitute a stub child — VERDICT r4 #10)."""
+    return [sys.executable, __file__, '--child']
+
+
 def _parent():
     """Run the measurement in up to two SERIALIZED child processes and
     stream the best-so-far result after every child line.  The host↔chip
@@ -772,11 +778,19 @@ def _parent():
                 best[0] = cand
                 _emit(cand)
 
-    def run_child(budget_s):
+    def run_child(budget_s, stall_s=None):
+        """Run one child; ``stall_s``: kill it early if it has produced
+        NO line by then.  The tunnel's remote service intermittently
+        wedges a process in its first RPCs (observed: a child stuck
+        390 s in phase 1 with the cache fully warm, eating the whole
+        480 s budget → a FAILED record); a fresh process redraws the
+        connection, so respawning beats waiting.  First lines normally
+        arrive by ~35 s warm / ~100 s on a degraded-but-alive tunnel —
+        the 240 s default only fires on a true wedge."""
         env = dict(os.environ, BENCH_CHILD_BUDGET_S=str(max(30, budget_s)))
-        proc = subprocess.Popen([sys.executable, __file__, '--child'],
-                                stdout=subprocess.PIPE, text=True,
-                                bufsize=1, env=env)
+        proc = subprocess.Popen(_child_cmd(), stdout=subprocess.PIPE,
+                                text=True, bufsize=1, env=env)
+        saw_line = [False]
 
         def reader():
             for line in proc.stdout:
@@ -785,23 +799,37 @@ def _parent():
                 except ValueError:
                     continue
                 if isinstance(cand, dict) and 'metric' in cand:
+                    saw_line[0] = True
                     consider(cand)
 
         th = threading.Thread(target=reader, daemon=True)
         th.start()
-        try:
-            proc.wait(timeout=max(10, remaining()))
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            proc.wait()
+        t_start = time.monotonic()
+        while True:
+            try:
+                proc.wait(timeout=5)
+                break
+            except subprocess.TimeoutExpired:
+                waited = time.monotonic() - t_start
+                if waited > max(10, remaining()) or (
+                        stall_s and not saw_line[0] and waited > stall_s):
+                    proc.kill()
+                    proc.wait()
+                    break
         th.join(timeout=10)
+        return saw_line[0]
 
-    # child 1 gets the bulk of the budget (minus parent slack)
-    run_child(remaining() - 20)
+    stall = float(os.environ.get('BENCH_STALL_S', '240'))
+    # child 1 gets the bulk of the budget (minus parent slack), with the
+    # no-first-line watchdog armed
+    produced = run_child(remaining() - 20, stall_s=stall)
+    if not produced and remaining() > 60:
+        # wedged child: a fresh process redraws the tunnel connection
+        run_child(remaining() - 15, stall_s=stall)
     # child 2 only if a FULL result exists AND enough budget remains for
     # a cache-warm rerun; with only partials on record, the remaining
     # budget is better spent letting nothing preempt a future retry.
-    if (best[0] is not None and not best[0].get('partial')
+    elif (best[0] is not None and not best[0].get('partial')
             and remaining() > 120):
         run_child(remaining() - 15)
 

@@ -98,3 +98,80 @@ class TestResultContract:
         out = bench_mod._partial_result(walls)
         assert out['partial']                # only a real e2e run may
         assert out['vs_baseline'] > 0        # present as the full result
+
+
+class TestParentKillContract:
+    """The BENCH_r02/r03 defense, as a unit test (VERDICT r4 #10): a
+    child killed MID-PHASE (external deadline) must still leave a
+    parseable, clearly-flagged partial as the parent's final line."""
+
+    def test_partial_survives_child_kill(self, bench_mod, monkeypatch,
+                                         tmp_path, capsys):
+        stub = tmp_path / 'stub_child.py'
+        stub.write_text(
+            "import json, sys, time\n"
+            "print(json.dumps({'metric': 'text_to_mesh_wall_clock',"
+            " 'value': 1.23, 'partial': True, 'staged': True,"
+            " 'phases': {'text_encode': 1.23},"
+            " 'unit': 's PARTIAL staged sum', 'vs_baseline': 0.0}),"
+            " flush=True)\n"
+            "time.sleep(120)\n")       # hangs: parent must kill it
+        monkeypatch.setattr(bench_mod, '_child_cmd',
+                            lambda: [sys.executable, str(stub)])
+        monkeypatch.setenv('BENCH_DEADLINE_S', '6')
+        t0 = __import__('time').monotonic()
+        bench_mod._parent()
+        wall = __import__('time').monotonic() - t0
+        assert wall < 30, wall          # the kill actually happened
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.strip().startswith('{')]
+        assert lines, 'parent emitted no JSON'
+        final = json.loads(lines[-1])
+        assert final['metric'] == 'text_to_mesh_wall_clock'
+        assert final['partial'] is True
+        assert final['value'] == pytest.approx(1.23)
+        # a partial can never read as a baseline claim
+        assert final['vs_baseline'] == 0.0
+
+    def test_silent_child_yields_failure_record(self, bench_mod,
+                                                monkeypatch, tmp_path,
+                                                capsys):
+        stub = tmp_path / 'mute_child.py'
+        stub.write_text("import time\ntime.sleep(120)\n")
+        monkeypatch.setattr(bench_mod, '_child_cmd',
+                            lambda: [sys.executable, str(stub)])
+        monkeypatch.setenv('BENCH_DEADLINE_S', '5')
+        bench_mod._parent()
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.strip().startswith('{')]
+        final = json.loads(lines[-1])
+        assert final['value'] is None
+        assert 'FAILED' in final['unit']
+
+    def test_wedged_child_respawned_by_watchdog(self, bench_mod,
+                                                monkeypatch, tmp_path,
+                                                capsys):
+        """A child wedged BEFORE its first line (the stuck-tunnel mode:
+        390 s silent with a warm cache) must be killed at BENCH_STALL_S
+        and respawned — a fresh process redraws the tunnel connection."""
+        marker = tmp_path / 'spawns'
+        stub = tmp_path / 'wedged_child.py'
+        stub.write_text(
+            "import sys, time\n"
+            f"open(r'{marker}', 'a').write('x')\n"
+            "time.sleep(120)\n")      # silent forever
+        monkeypatch.setattr(bench_mod, '_child_cmd',
+                            lambda: [sys.executable, str(stub)])
+        monkeypatch.setenv('BENCH_STALL_S', '3')
+        monkeypatch.setenv('BENCH_DEADLINE_S', '70')
+        t0 = __import__('time').monotonic()
+        bench_mod._parent()
+        wall = __import__('time').monotonic() - t0
+        assert marker.read_text() == 'xx', 'expected exactly 2 spawns'
+        # both children die at the 3 s watchdog — the parent finishes
+        # far inside the deadline instead of burning it all
+        assert wall < 40, wall
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.strip().startswith('{')]
+        final = json.loads(lines[-1])
+        assert final['value'] is None and 'FAILED' in final['unit']
