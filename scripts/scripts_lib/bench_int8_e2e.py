@@ -56,7 +56,6 @@ def main():
     import dataclasses
 
     from ln3diff_tpu.config import denoiser_preset
-    from ln3diff_tpu.models.dit import DiT_TriLatent
     from ln3diff_tpu.ops.int8 import quantize_dit
     from ln3diff_tpu.pipeline import TextTo3DPipeline
     from ln3diff_tpu.utils.misc import cast_floating

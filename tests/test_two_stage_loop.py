@@ -16,7 +16,6 @@ quantitative gates at every stage:
      the sampled renders land near the stage-1 reconstructions.
 """
 
-import dataclasses
 
 import numpy as np
 import pytest
